@@ -1,0 +1,176 @@
+"""TriMesh: the central mesh container (a JAX pytree).
+
+Replaces the reference's reliance on a live PyVista object for geometry
+arrays and topology queries (points / faces / point_normals / cell areas at
+utils/compute_optical_flow.py:345-350; point_neighbors, point_cell_ids,
+point_neighbors_levels, find_closest_point, find_cells_intersecting_line,
+geodesic used across utils/find_singularity_point.py, S5, S6, S7). All
+topology is precomputed host-side into fixed-shape padded int arrays so every
+downstream op is jit/vmap/shard-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manifold_flow_tpu.geometry.fem_quantities import (
+    hat_gradients,
+    mass_integrals,
+    triangle_areas,
+    vertex_normals_from_cells,
+)
+from manifold_flow_tpu.geometry.tangent import tangent_basis
+
+PAD_INDEX = -1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriMesh:
+    """Triangulated 2-manifold with precomputed FEM + topology arrays.
+
+    Array fields (pytree leaves):
+      points          (N, 3)  float  vertex coordinates
+      triangles       (M, 3)  int32  corner vertex ids
+      normals         (N, 3)  float  unit vertex normals
+      areas           (M,)    float  triangle areas
+      basis           (N, 2, 3) float tangent orthonormal bases ("e")
+      grad_w          (M, 3, 3) float P1 hat gradients per corner
+      integrals       (M, 2)  float  [A/6, A/12] mass integrals
+      vertex_neighbors (N, D) int32  1-ring vertex ids, PAD_INDEX padded
+      vertex_cells     (N, C) int32  incident cell ids, PAD_INDEX padded
+      vertex_degree    (N,)   int32  valid entries in vertex_neighbors
+      vertex_cell_count(N,)   int32  valid entries in vertex_cells
+      boundary_vertex  (N,)   bool   vertex on mesh boundary
+      edges            (E, 2) int32  unique undirected edges (sorted pairs)
+      edge_cells       (E, 2) int32  incident cells per edge (PAD for boundary)
+
+    Static (aux) fields: n_vertices, n_triangles, max_degree, max_cells.
+    Vertices may be padding (beyond n_vertices) when a mesh is padded for TPU
+    tiling; padded triangles have zero area and contribute nothing.
+    """
+
+    points: jnp.ndarray
+    triangles: jnp.ndarray
+    normals: jnp.ndarray
+    areas: jnp.ndarray
+    basis: jnp.ndarray
+    grad_w: jnp.ndarray
+    integrals: jnp.ndarray
+    vertex_neighbors: jnp.ndarray
+    vertex_cells: jnp.ndarray
+    vertex_degree: jnp.ndarray
+    vertex_cell_count: jnp.ndarray
+    boundary_vertex: jnp.ndarray
+    edges: jnp.ndarray
+    edge_cells: jnp.ndarray
+    n_vertices: int = dataclasses.field(metadata=dict(static=True))
+    n_triangles: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_dof(self) -> int:
+        """Velocity DOF count 2N (two tangent components per vertex)."""
+        return 2 * self.n_vertices
+
+    @property
+    def e(self) -> jnp.ndarray:
+        """Alias matching the reference's name for the tangent bases."""
+        return self.basis
+
+
+def _vertex_adjacency(n_vertices: int, triangles: np.ndarray):
+    """Vertex->vertex and vertex->cell incidence as padded int32 arrays."""
+    neigh = [set() for _ in range(n_vertices)]
+    cells = [[] for _ in range(n_vertices)]
+    for m, (a, b, c) in enumerate(triangles):
+        neigh[a].update((b, c))
+        neigh[b].update((a, c))
+        neigh[c].update((a, b))
+        cells[a].append(m)
+        cells[b].append(m)
+        cells[c].append(m)
+    max_deg = max((len(s) for s in neigh), default=1) or 1
+    max_cells = max((len(s) for s in cells), default=1) or 1
+    vn = np.full((n_vertices, max_deg), PAD_INDEX, dtype=np.int32)
+    vc = np.full((n_vertices, max_cells), PAD_INDEX, dtype=np.int32)
+    deg = np.zeros(n_vertices, dtype=np.int32)
+    ncell = np.zeros(n_vertices, dtype=np.int32)
+    for i in range(n_vertices):
+        s = sorted(neigh[i])
+        vn[i, : len(s)] = s
+        deg[i] = len(s)
+        vc[i, : len(cells[i])] = cells[i]
+        ncell[i] = len(cells[i])
+    return vn, vc, deg, ncell
+
+
+def _edges_and_boundary(n_vertices: int, triangles: np.ndarray):
+    """Unique undirected edges, their incident cells, boundary vertices."""
+    edge_map: dict[tuple[int, int], list[int]] = {}
+    for m, tri in enumerate(triangles):
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            key = (min(a, b), max(a, b))
+            edge_map.setdefault(key, []).append(m)
+    n_edges = max(len(edge_map), 1)
+    edges = np.full((n_edges, 2), PAD_INDEX, dtype=np.int32)
+    edge_cells = np.full((n_edges, 2), PAD_INDEX, dtype=np.int32)
+    boundary = np.zeros(n_vertices, dtype=bool)
+    for idx, (key, cs) in enumerate(sorted(edge_map.items())):
+        edges[idx] = key
+        edge_cells[idx, : min(len(cs), 2)] = cs[:2]
+        if len(cs) == 1:
+            boundary[key[0]] = True
+            boundary[key[1]] = True
+    return edges, edge_cells, boundary
+
+
+def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
+    """Construct a TriMesh from raw arrays (host-side, runs once per surface).
+
+    `normals` defaults to cell-normal-averaged vertex normals (the quantity
+    the reference takes from `surface.point_normals`,
+    utils/compute_optical_flow.py:349).
+    """
+    points = np.asarray(points)
+    if dtype is not None:
+        points = points.astype(dtype)
+    triangles = np.asarray(triangles, dtype=np.int32)
+    n_vertices = int(points.shape[0])
+    n_triangles = int(triangles.shape[0])
+
+    pts = jnp.asarray(points)
+    tris = jnp.asarray(triangles)
+    if normals is None:
+        nrm = vertex_normals_from_cells(pts, tris, n_vertices)
+    else:
+        nrm = jnp.asarray(np.asarray(normals, dtype=points.dtype))
+    areas = triangle_areas(pts, tris)
+    basis = tangent_basis(nrm)
+    grad_w = hat_gradients(pts, tris)
+    integrals = mass_integrals(areas)
+
+    vn, vc, deg, ncell = _vertex_adjacency(n_vertices, triangles)
+    edges, edge_cells, boundary = _edges_and_boundary(n_vertices, triangles)
+
+    return TriMesh(
+        points=pts,
+        triangles=tris,
+        normals=nrm,
+        areas=areas,
+        basis=basis,
+        grad_w=grad_w,
+        integrals=integrals,
+        vertex_neighbors=jnp.asarray(vn),
+        vertex_cells=jnp.asarray(vc),
+        vertex_degree=jnp.asarray(deg),
+        vertex_cell_count=jnp.asarray(ncell),
+        boundary_vertex=jnp.asarray(boundary),
+        edges=jnp.asarray(edges),
+        edge_cells=jnp.asarray(edge_cells),
+        n_vertices=n_vertices,
+        n_triangles=n_triangles,
+    )

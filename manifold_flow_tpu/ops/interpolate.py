@@ -1,0 +1,78 @@
+"""On-device RBF interpolation: electrode samples -> surface vertices.
+
+Replaces the reference's per-frame `scipy.interpolate.Rbf` fit + eval loop
+(S2_interpolate.py:22-53, S2_interpolate_phases.py:22-56). The kernel system
+is one small dense ExE solve and an ExN evaluation — ideal MXU work — and all
+frames share the same electrode geometry, so the kernel matrix is factorized
+once and every frame is solved as one multi-RHS triangular solve (the
+reference refits the RBF from scratch every frame).
+
+Parity: scipy's Rbf defaults — multiquadric kernel sqrt((r/eps)^2 + 1),
+epsilon = (prod(nonzero bbox edges)/n)^(1/dim), smooth = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def scipy_default_epsilon(coords: jnp.ndarray) -> jnp.ndarray:
+    """scipy.interpolate.Rbf's default epsilon ("average distance between
+    nodes" from the bounding-box volume)."""
+    hi = jnp.max(coords, axis=0)
+    lo = jnp.min(coords, axis=0)
+    edges = hi - lo
+    nz = edges != 0
+    prod = jnp.prod(jnp.where(nz, edges, 1.0))
+    dim = jnp.sum(nz)
+    return jnp.power(prod / coords.shape[0], 1.0 / jnp.maximum(dim, 1))
+
+
+def _kernel(r: jnp.ndarray, epsilon: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "multiquadric":
+        return jnp.sqrt((r / epsilon) ** 2 + 1.0)
+    if kind == "inverse_multiquadric":
+        return 1.0 / jnp.sqrt((r / epsilon) ** 2 + 1.0)
+    if kind == "gaussian":
+        return jnp.exp(-((r / epsilon) ** 2))
+    if kind == "linear":
+        return r
+    if kind == "thin_plate":
+        return jnp.where(r > 0, r ** 2 * jnp.log(jnp.where(r > 0, r, 1.0)), 0.0)
+    raise ValueError(f"unknown RBF kind: {kind!r}")
+
+
+def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def rbf_interpolate(coords: jnp.ndarray, values: jnp.ndarray,
+                    targets: jnp.ndarray, epsilon: jnp.ndarray | None = None,
+                    smooth: float = 0.0, kind: str = "multiquadric"
+                    ) -> jnp.ndarray:
+    """Interpolate values (T, E) sampled at coords (E, 3) onto targets (P, 3).
+
+    Returns (T, P). Complex `values` are supported (the phases pipeline
+    interpolates e^{i phi}, S2_interpolate_phases.py:177-182): the real kernel
+    system is solved once with complex right-hand sides.
+    """
+    if epsilon is None:
+        epsilon = scipy_default_epsilon(coords)
+    a = _kernel(_pairwise_dist(coords, coords), epsilon, kind)
+    a = a - smooth * jnp.eye(coords.shape[0], dtype=a.dtype)
+    b = _kernel(_pairwise_dist(targets, coords), epsilon, kind)   # (P, E)
+    lu, piv = jax.scipy.linalg.lu_factor(a)
+
+    def solve(rhs):
+        return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    if jnp.iscomplexobj(values):
+        w = solve(values.real.T) + 1j * solve(values.imag.T)      # (E, T)
+    else:
+        w = solve(values.T)
+    return (b @ w).T

@@ -1,0 +1,263 @@
+"""Singularity detection and classification on velocity movies.
+
+TPU redesign of utils/find_singularity_point.py:72-189 (detection) and
+:355-498 (Jacobian classification): everything is computed for all vertices /
+triangles / frames at once with masks, instead of per-frame Python loops; the
+interior zero test solves the 2x2 least-squares system in closed form instead
+of `np.linalg.lstsq`.
+
+Outputs are fixed-capacity masked arrays; `compact_frame` converts one frame
+back to reference-style Python lists on the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manifold_flow_tpu.geometry.mesh import PAD_INDEX, TriMesh
+from manifold_flow_tpu.geometry.tangent import (
+    express_on_basis,
+    position_diff_on_basis,
+    project_to_plane,
+    tangent_basis,
+)
+
+# Classification codes (classify_critical_point,
+# utils/find_singularity_point.py:463-498; the finer stable/unstable branches
+# there are dead code after the early returns).
+NODE, FOCUS, SADDLE, INDETERMINATE = 0, 1, 2, 3
+CLASS_NAMES = ("Node", "Focus", "Saddle", "Indeterminate")
+
+
+class SingularityField(NamedTuple):
+    """Per-frame masked singularity data (leading axis = frames).
+
+    vertex_mask    (T, N)  vertex singular (|v|/vmax <= eps)
+    interior_mask  (T, M)  triangle-interior zero found
+    interior_bary  (T, M, 2) (lam, mu) barycentric coords of the zero
+    interior_point (T, M, 3) world coords of the interior zero
+    v_max          (T,)    per-frame max |v| (the normalizer)
+    """
+
+    vertex_mask: jnp.ndarray
+    interior_mask: jnp.ndarray
+    interior_bary: jnp.ndarray
+    interior_point: jnp.ndarray
+    v_max: jnp.ndarray
+
+
+def _valid_vertex_mask(n_vertices: int, n_valid: int | None):
+    if n_valid is None:
+        return None
+    return jnp.arange(n_vertices) < n_valid
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
+           ) -> SingularityField:
+    """Find singular vertices and triangle-interior zeros for all frames.
+
+    v_world: (T, N, 3) world-frame velocity vectors (from velocity_to_world).
+    eps: normalized-speed threshold (config.yaml:4).
+
+    Mirrors find_singularity_points (utils/find_singularity_point.py:140-189):
+    speeds are normalized by the per-frame max; triangles touching a singular
+    vertex are skipped; the interior test projects corner velocities onto the
+    triangle plane and solves [VA-VC, VB-VC] [lam, mu]^T = -VC in the
+    least-squares sense, accepting lam >= 0, mu >= 0, lam + mu <= 1.
+    """
+    speeds = jnp.linalg.norm(v_world, axis=-1)             # (T, N)
+    v_max = jnp.max(speeds, axis=-1)                       # (T,)
+    vn = v_world / v_max[:, None, None]
+    vertex_mask = (speeds / v_max[:, None]) <= eps         # (T, N)
+
+    tri = mesh.triangles                                   # (M, 3)
+    p = mesh.points[tri]                                   # (M, 3, 3)
+    n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(nn > 0, nn, 1.0)                     # (M, 3) unit
+
+    vt = vn[:, tri]                                        # (T, M, 3c, 3d)
+    vproj = vt - jnp.sum(vt * n[None, :, None, :], axis=-1, keepdims=True) * n[None, :, None, :]
+    va, vb, vc = vproj[:, :, 0], vproj[:, :, 1], vproj[:, :, 2]
+    c1 = va - vc                                           # (T, M, 3)
+    c2 = vb - vc
+    # Normal equations of the 3x2 least-squares system M x = -vc.
+    a11 = jnp.sum(c1 * c1, axis=-1)
+    a12 = jnp.sum(c1 * c2, axis=-1)
+    a22 = jnp.sum(c2 * c2, axis=-1)
+    b1 = -jnp.sum(c1 * vc, axis=-1)
+    b2 = -jnp.sum(c2 * vc, axis=-1)
+    det = a11 * a22 - a12 * a12
+    safe = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    lam = (b1 * a22 - b2 * a12) / safe
+    mu = (a11 * b2 - a12 * b1) / safe
+    solvable = jnp.abs(det) > 0
+    inside = (lam >= 0) & (mu >= 0) & (lam + mu <= 1)
+
+    touches_singular = jnp.any(vertex_mask[:, tri], axis=-1)  # (T, M)
+    interior_mask = solvable & inside & ~touches_singular
+
+    bary = jnp.stack([lam, mu], axis=-1)                   # (T, M, 2)
+    w = jnp.stack([lam, mu, 1.0 - lam - mu], axis=-1)      # (T, M, 3)
+    point = jnp.einsum("tmc,mcd->tmd", w, p)
+    return SingularityField(vertex_mask, interior_mask, bary, point, v_max)
+
+
+def _jacobian_from_neighbors(origin, e1, e2, nb_points, nb_vel, nb_mask):
+    """Accumulate the reference's finite-difference 2x2 Jacobian.
+
+    For each neighbor: (u, v) = velocity expressed on (e1, e2) after
+    projection; (d1, d2) = neighbor position difference on the basis;
+    J += [[u/d1, u/d2], [v/d1, v/d2]]
+    (compute_jacobian_matrix_for_vertex, utils/find_singularity_point.py:355-402).
+    Zero-distance components contribute 0 (the reference would emit inf).
+    """
+    vp = project_to_plane(nb_vel, e1, e2)
+    uv = express_on_basis(vp, e1, e2)                      # (..., D, 2)
+    duv = position_diff_on_basis(origin, nb_points, e1, e2)
+    inv = jnp.where(duv != 0, 1.0 / jnp.where(duv != 0, duv, 1.0), 0.0)
+    contrib = uv[..., :, None] * inv[..., None, :]         # (..., D, 2, 2)
+    contrib = jnp.where(nb_mask[..., None, None], contrib, 0.0)
+    return jnp.sum(contrib, axis=-3)                       # (..., 2, 2)
+
+
+def classify_jacobian(jac: jnp.ndarray) -> jnp.ndarray:
+    """Trace/determinant classification -> codes (NODE/FOCUS/SADDLE/INDET)."""
+    tr = jac[..., 0, 0] + jac[..., 1, 1]
+    det = jac[..., 0, 0] * jac[..., 1, 1] - jac[..., 0, 1] * jac[..., 1, 0]
+    node_or_focus = jnp.where(tr * tr > 4.0 * det, NODE, FOCUS)
+    return jnp.where(det > 0, node_or_focus,
+                     jnp.where(det < 0, SADDLE, INDETERMINATE)).astype(jnp.int32)
+
+
+@jax.jit
+def vertex_jacobians(mesh: TriMesh, v_world: jnp.ndarray,
+                     v_max: jnp.ndarray) -> jnp.ndarray:
+    """2x2 Jacobians (T, N, 2, 2) at every vertex (select singular ones later).
+
+    Velocities are normalized by the frame max as in the reference (:387).
+    """
+    vn = v_world / v_max[:, None, None]
+    nb = mesh.vertex_neighbors                             # (N, D)
+    nb_mask = nb != PAD_INDEX
+    nb_safe = jnp.where(nb_mask, nb, 0)
+    nb_points = mesh.points[nb_safe]                       # (N, D, 3)
+    nb_vel = vn[:, nb_safe]                                # (T, N, D, 3)
+    e1 = mesh.basis[:, 0][None, :, None, :]
+    e2 = mesh.basis[:, 1][None, :, None, :]
+    origin = mesh.points[None, :, None, :]
+    return _jacobian_from_neighbors(
+        origin, e1, e2, nb_points[None], nb_vel, nb_mask[None])
+
+
+@jax.jit
+def interior_jacobians(mesh: TriMesh, v_world: jnp.ndarray, v_max: jnp.ndarray,
+                       interior_point: jnp.ndarray) -> jnp.ndarray:
+    """2x2 Jacobians (T, M, 2, 2) for triangle-interior critical points.
+
+    Mirrors compute_jacobian_matrix_for_interior
+    (utils/find_singularity_point.py:405-460): the basis comes from the flat
+    triangle normal; the neighbor set is the triangle's corners plus the
+    corners of the neighbor triangle across the edge nearest to the critical
+    point. Deviations from the reference, both deliberate:
+      * nearest edge uses true point-to-edge distances (the reference's
+        `find_nearest_edge_and_vertices` (:318-351) argmins over the *3x3
+        component array* of vector cross products, which almost always picks
+        edge (C, A));
+      * the across-edge neighbor is the unique edge-adjacent triangle (the
+        reference pops an arbitrary member of a VTK line-intersection set).
+    """
+    tri = mesh.triangles
+    p = mesh.points[tri]                                   # (M, 3, 3)
+    nrm = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    nrm = nrm / jnp.where(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True) > 0,
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1.0)
+    e = tangent_basis(nrm)                                 # (M, 2, 3)
+
+    # Nearest edge to the interior point: edges (0:AB, 1:BC, 2:CA).
+    def edge_dist(pt, a, b):
+        ab = b - a
+        t = jnp.cross(pt - a, ab)
+        return jnp.linalg.norm(t, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(ab, axis=-1), 1e-300)
+
+    pt = interior_point                                    # (T, M, 3)
+    d = jnp.stack([
+        edge_dist(pt, p[None, :, 0], p[None, :, 1]),
+        edge_dist(pt, p[None, :, 1], p[None, :, 2]),
+        edge_dist(pt, p[None, :, 2], p[None, :, 0]),
+    ], axis=-1)                                            # (T, M, 3)
+    nearest = jnp.argmin(d, axis=-1)                       # (T, M)
+    edge_corner = jnp.array([[0, 1], [1, 2], [2, 0]])
+    ca = jnp.take_along_axis(
+        tri[None], edge_corner[nearest][..., 0:1], axis=-1)[..., 0]
+    cb = jnp.take_along_axis(
+        tri[None], edge_corner[nearest][..., 1:2], axis=-1)[..., 0]
+
+    # Neighbor triangle across that edge (PAD -> fall back to self).
+    from manifold_flow_tpu.geometry.topology import other_cell_across_edge
+
+    cell_ids = jnp.arange(tri.shape[0])
+    other = jax.vmap(
+        jax.vmap(other_cell_across_edge, in_axes=(None, None, 0, 0, 0)),
+        in_axes=(None, None, None, 0, 0),
+    )(mesh.edges, mesh.edge_cells, cell_ids, ca, cb)       # (T, M)
+    other_safe = jnp.where(other >= 0, other, cell_ids[None])
+
+    nb_idx = jnp.concatenate(
+        [jnp.broadcast_to(tri[None], (pt.shape[0], *tri.shape)),
+         mesh.triangles[other_safe]], axis=-1)             # (T, M, 6)
+    # Mask duplicate vertices (shared edge corners appear twice; the
+    # reference takes a set union, so each vertex contributes once).
+    first_occurrence = jnp.ones(nb_idx.shape, dtype=bool)
+    for i in range(1, 6):
+        dup = jnp.any(
+            nb_idx[..., i:i + 1] == nb_idx[..., :i], axis=-1)
+        first_occurrence = first_occurrence.at[..., i].set(~dup)
+
+    vn = v_world / v_max[:, None, None]
+    t_idx = jnp.arange(pt.shape[0])[:, None, None]
+    nb_vel = vn[t_idx, nb_idx]                             # (T, M, 6, 3)
+    nb_points = mesh.points[nb_idx]                        # (T, M, 6, 3)
+    e1 = e[None, :, None, 0]
+    e2 = e[None, :, None, 1]
+    return _jacobian_from_neighbors(
+        pt[:, :, None], e1, e2, nb_points, nb_vel, first_occurrence)
+
+
+def classify(mesh: TriMesh, v_world: jnp.ndarray, field: SingularityField):
+    """Classification codes for vertex (T, N) and interior (T, M) candidates."""
+    jv = vertex_jacobians(mesh, v_world, field.v_max)
+    ji = interior_jacobians(mesh, v_world, field.v_max, field.interior_point)
+    return classify_jacobian(jv), classify_jacobian(ji)
+
+
+def compact_frame(mesh: TriMesh, field: SingularityField, frame: int):
+    """Host-side: one frame's masked arrays -> reference-style lists.
+
+    Returns (points (S, 3), kinds (S,) str 'vertex'/'interior', ids (S,)),
+    vertices first then interiors, matching the ordering of
+    find_singularity_points_for_all_Vk (utils/find_singularity_point.py:550-556).
+    """
+    import numpy as np
+
+    vm = np.asarray(field.vertex_mask[frame])
+    im = np.asarray(field.interior_mask[frame])
+    pts = np.asarray(mesh.points)
+    ipts = np.asarray(field.interior_point[frame])
+    out_pts = [pts[i] for i in np.where(vm)[0]]
+    kinds = ["vertex"] * len(out_pts)
+    ids = list(np.where(vm)[0])
+    for m in np.where(im)[0]:
+        out_pts.append(ipts[m])
+        kinds.append("interior")
+        ids.append(m)
+    if out_pts:
+        return np.stack(out_pts), kinds, ids
+    return np.zeros((0, 3)), kinds, ids

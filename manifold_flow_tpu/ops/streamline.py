@@ -1,0 +1,159 @@
+"""Streamline extraction: greedy tangent-projected walks on the mesh graph.
+
+TPU redesign of S6_streamline.py:17-138: all N seed vertices advance in
+lockstep through a fixed number of masked steps (`lax.scan` + `vmap`) instead
+of per-seed Python `while True` loops with PyVista topology calls.
+
+Walk rule per step (extract_static_streamline_dot_product, S6:51-138):
+  * project the edges to all 1-ring neighbors onto the current vertex's
+    tangent plane, normalize, and pick the neighbor maximizing the dot
+    product with the (unprojected) local velocity;
+  * interior vertices (>= 6 incident cells) advance if the best dot is
+    positive and the neighbor was not already visited;
+  * boundary vertices additionally require either >= 2 shared cells with the
+    chosen neighbor, or — when only one cell is shared — that the velocity
+    direction (expressed on the basis) lies strictly inside the shared
+    triangle mapped to the tangent plane (S6:100-133).
+
+Deviation (documented, deliberate): the reference's single-shared-cell test
+passes vertex *indices* where coordinates are expected and reverses one
+argument pair (S6:115-117), producing numerically meaningless (though
+deterministic) triangle coordinates; we implement the intended geometry
+(B - A and C - A expressed in the tangent basis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manifold_flow_tpu.geometry.mesh import PAD_INDEX, TriMesh
+from manifold_flow_tpu.geometry.tangent import (
+    express_on_basis,
+    position_diff_on_basis,
+    project_to_plane,
+)
+
+
+class Streamlines(NamedTuple):
+    vertices: jnp.ndarray  # (S, L+1) visited vertex ids, PAD_INDEX beyond length
+    lengths: jnp.ndarray   # (S,) number of points in each streamline
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _shared_cells(cells_a, cells_b):
+    """Number of common incident cells and the first common cell id."""
+    va = cells_a != PAD_INDEX
+    eq = (cells_a[:, None] == cells_b[None, :]) & va[:, None] & (
+        cells_b != PAD_INDEX)[None, :]
+    match_a = jnp.any(eq, axis=1)
+    count = jnp.sum(match_a)
+    first = jnp.where(
+        jnp.any(match_a),
+        cells_a[jnp.argmax(match_a)],
+        PAD_INDEX,
+    )
+    return count, first
+
+
+def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel):
+    """Single-shared-cell orientation test (S6:100-133, intended geometry)."""
+    tri = mesh.triangles[cell]
+    # Reorder so A == cur (the reference's corner swap, S6:103-113).
+    a = cur
+    b = jnp.where(tri[0] == cur, tri[1], jnp.where(tri[1] == cur, tri[0], tri[1]))
+    c = jnp.where(tri[2] == cur, tri[0], tri[2])
+    p1 = position_diff_on_basis(mesh.points[a], mesh.points[b], e1, e2)
+    p2 = position_diff_on_basis(mesh.points[a], mesh.points[c], e1, e2)
+    orient = _cross2(p1, p2)
+    # Counter-clockwise order (clockwise(), S6:204-219); collinear -> reject.
+    pb = jnp.where(orient >= 0, p1, p2)
+    pc = jnp.where(orient >= 0, p2, p1)
+    v2 = express_on_basis(vel, e1, e2)
+    pa = jnp.zeros_like(pb)
+    inside = (
+        (_cross2(pb - pa, v2 - pa) > 0)
+        & (_cross2(pc - pb, v2 - pb) > 0)
+        & (_cross2(pa - pc, v2 - pc) > 0)
+    )
+    return inside & (orient != 0)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
+          max_steps: int = 128) -> Streamlines:
+    """Trace one streamline from every vertex of the mesh for one frame.
+
+    Seeds with zero velocity produce length-1 streamlines (the caller filters
+    by min length, matching S6:29 + S6:135-138).
+    """
+    n = mesh.n_vertices
+    seeds = jnp.arange(n, dtype=jnp.int32)
+    vel = v_world_frame
+
+    def step_one(state, _):
+        cur, visited, length, alive, slot = state
+        e1 = mesh.basis[cur, 0]
+        e2 = mesh.basis[cur, 1]
+        nb = mesh.vertex_neighbors[cur]                    # (D,)
+        nb_mask = nb != PAD_INDEX
+        nb_safe = jnp.where(nb_mask, nb, 0)
+        vec = mesh.points[nb_safe] - mesh.points[cur]
+        proj = project_to_plane(vec, e1, e2)
+        nrm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        unit = proj / jnp.where(nrm > 0, nrm, 1.0)
+        dots = jnp.sum(unit * vel[cur], axis=-1)
+        dots = jnp.where(nb_mask, dots, -jnp.inf)
+        idx = jnp.argmax(dots)
+        cand = nb_safe[idx]
+        dmax = dots[idx]
+
+        not_visited = jnp.all(visited != cand)
+        base_ok = (dmax > 0) & not_visited
+
+        interior = mesh.vertex_cell_count[cur] >= 6
+        count, cell = _shared_cells(
+            mesh.vertex_cells[cur], mesh.vertex_cells[cand])
+        tri_ok = _boundary_triangle_test(
+            mesh, cur, cand, jnp.maximum(cell, 0), e1, e2, vel[cur])
+        boundary_ok = jnp.where(count >= 2, base_ok,
+                                base_ok & tri_ok & (cell != PAD_INDEX))
+        ok = alive & jnp.where(interior, base_ok, boundary_ok)
+
+        new_cur = jnp.where(ok, cand, cur)
+        visited = visited.at[slot].set(jnp.where(ok, cand, PAD_INDEX))
+        return (new_cur, visited, length + ok.astype(length.dtype), ok,
+                slot + 1), None
+
+    def walk(seed):
+        visited0 = jnp.full((max_steps + 1,), PAD_INDEX, dtype=jnp.int32)
+        visited0 = visited0.at[0].set(seed)
+        alive0 = jnp.linalg.norm(vel[seed]) != 0
+        state = (seed, visited0, jnp.int32(1), alive0, jnp.int32(1))
+        (cur, visited, length, alive, _), _ = jax.lax.scan(
+            step_one, state, None, length=max_steps)
+        return visited, length
+
+    visited, lengths = jax.vmap(walk)(seeds)
+    return Streamlines(vertices=visited, lengths=lengths)
+
+
+def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
+    """Host-side: masked walks -> list of coordinate polylines (S6:135-138)."""
+    import numpy as np
+
+    pts = np.asarray(mesh.points)
+    verts = np.asarray(sl.vertices)
+    lengths = np.asarray(sl.lengths)
+    out = []
+    for i in range(verts.shape[0]):
+        if lengths[i] >= min_length:
+            ids = verts[i, : lengths[i]]
+            out.append(pts[ids])
+    return out

@@ -1,0 +1,135 @@
+"""Winding-number ("winding line") analysis around singularities.
+
+TPU redesign of S7_winding_line.py: concentric vertex rings come from the
+masked BFS (`geometry.topology.bfs_levels` — replacing PyVista
+`point_neighbors_levels`, S7:131); each ring's winding number is computed
+with masked sorts and gathers at fixed capacity N, vmapped over rings and
+query points.
+
+Per ring (calculate_winding_numbers, S7:120-165):
+  * project ring-vertex positions and velocities into the center vertex's
+    tangent basis;
+  * sort by polar angle atan2(y, x) (sort_by_polar_angle_anticlockwise,
+    S7:93-102 — the reference sorts about the origin; its cx, cy arguments
+    are unused);
+  * winding number = sum of signed angles between consecutive velocity
+    vectors / 2 pi (winding_number + angle_between_vectors, S7:59-87).
+
+Ring 1 fixes the expected type: +1 (node/focus) if w in [0.99, 1.01], -1
+(saddle) if w in [-1.01, -0.99] (S7:150-158); subsequent rings count while
+|w -/+ 1| <= 0.001 (check_property, S7:104-118 — note the tighter tolerance)
+and the count stops at the first failure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manifold_flow_tpu.geometry.mesh import TriMesh
+from manifold_flow_tpu.geometry.tangent import (
+    express_on_basis,
+    position_diff_on_basis,
+    project_to_plane,
+)
+from manifold_flow_tpu.geometry import topology
+
+
+class WindingResult(NamedTuple):
+    counts: jnp.ndarray        # (..., S) rings with persistent winding number
+    types: jnp.ndarray         # (..., S) +1 node/focus, -1 saddle, 0 unmatched
+    winding_numbers: jnp.ndarray  # (..., S, L) per-ring winding numbers
+
+
+def ring_winding_number(uv: jnp.ndarray, vxy: jnp.ndarray,
+                        mask: jnp.ndarray) -> jnp.ndarray:
+    """Winding number of the 2-D field `vxy` (N, 2) over the masked ring.
+
+    `uv` (N, 2) are in-plane positions (sort key), `mask` (N,) selects ring
+    members. Masked entries sort to the end; the circular pairing wraps at
+    the valid count.
+    """
+    big = jnp.asarray(1e30, dtype=uv.dtype)
+    key = jnp.where(mask, jnp.arctan2(uv[:, 1], uv[:, 0]), big)
+    order = jnp.argsort(key)
+    vs = vxy[order]                        # (N, 2) sorted, invalid at end
+    k = jnp.sum(mask)
+    idx = jnp.arange(mask.shape[0])
+    nxt = jnp.where(idx + 1 < k, idx + 1, 0)
+    v1 = vs
+    v2 = vs[nxt]
+
+    def unit(v):
+        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.where(nrm > 0, nrm, 1.0)
+
+    u1, u2 = unit(v1), unit(v2)
+    dot = jnp.clip(jnp.sum(u1 * u2, axis=-1), -1.0, 1.0)
+    ang = jnp.arccos(dot)
+    cross = u1[:, 0] * u2[:, 1] - u1[:, 1] * u2[:, 0]
+    ang = jnp.where(cross < 0, -ang, ang)
+    ang = jnp.where(idx < k, ang, 0.0)
+    return jnp.sum(ang) / (2.0 * jnp.pi)
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def winding_profile(mesh: TriMesh, v_world_frame: jnp.ndarray,
+                    center: jnp.ndarray, max_level: int = 25) -> jnp.ndarray:
+    """Winding numbers (max_level,) for rings 1..max_level around `center`.
+
+    `v_world_frame` is one frame's (N, 3) field; `center` a vertex index.
+    """
+    levels = topology.bfs_levels(mesh.vertex_neighbors, center, max_level)
+    e1 = mesh.basis[center, 0]
+    e2 = mesh.basis[center, 1]
+    uv = position_diff_on_basis(mesh.points[center], mesh.points, e1, e2)
+    vproj = project_to_plane(v_world_frame, e1, e2)
+    vxy = express_on_basis(vproj, e1, e2)
+
+    def one_ring(level):
+        return ring_winding_number(uv, vxy, levels == level)
+
+    return jax.vmap(one_ring)(jnp.arange(1, max_level + 1))
+
+
+def _count_and_type(w: jnp.ndarray):
+    """Ring-persistence count + type from a (L,) winding profile."""
+    w0 = w[0]
+    is_pos = (w0 >= 0.99) & (w0 <= 1.01)
+    is_neg = (w0 >= -1.01) & (w0 <= -0.99)
+    typ = jnp.where(is_pos, 1, jnp.where(is_neg, -1, 0))
+    target = typ.astype(w.dtype)
+    ok = (w[1:] >= target - 0.001) & (w[1:] <= target + 0.001) & (typ != 0)
+    # Count consecutive successes from ring 2 onward.
+    consec = jnp.cumprod(ok.astype(jnp.int32))
+    count = jnp.where(typ != 0, 1 + jnp.sum(consec), 0)
+    return count.astype(jnp.int32), typ.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
+                          points: jnp.ndarray, valid: jnp.ndarray,
+                          max_level: int = 25) -> WindingResult:
+    """Winding analysis for one frame's singularity list.
+
+    points: (S, 3) fixed-capacity singularity coordinates; valid: (S,) mask.
+    Each point is snapped to its closest vertex (S7:130) before ring
+    construction. Invalid slots return count 0 / type 0.
+    """
+    centers = topology.closest_vertex(mesh.points, points)
+
+    def one(center):
+        w = winding_profile(mesh, v_world_frame, center, max_level)
+        count, typ = _count_and_type(w)
+        return count, typ, w
+
+    counts, types, ws = jax.vmap(one)(centers)
+    zero = jnp.int32(0)
+    return WindingResult(
+        counts=jnp.where(valid, counts, zero),
+        types=jnp.where(valid, types, zero),
+        winding_numbers=jnp.where(valid[:, None], ws, 0.0),
+    )

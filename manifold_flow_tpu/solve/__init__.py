@@ -1,0 +1,17 @@
+"""Linear solvers for the per-frame FEM systems.
+
+Replaces the reference's `scipy.sparse.linalg.spsolve` under a
+`multiprocessing.Pool` (utils/compute_optical_flow.py:143-194) with two
+TPU-native paths:
+
+  * `cg`       — batched matrix-free preconditioned conjugate gradients over
+                 all frames simultaneously (block-Jacobi 2x2 preconditioner);
+  * `cholesky` — batched dense Cholesky with mixed-precision iterative
+                 refinement (small meshes; exact to working precision).
+"""
+
+from manifold_flow_tpu.solve.api import compute_velocity_fields
+from manifold_flow_tpu.solve.cg import solve_cg
+from manifold_flow_tpu.solve.cholesky import solve_cholesky
+
+__all__ = ["compute_velocity_fields", "solve_cg", "solve_cholesky"]

@@ -1,0 +1,99 @@
+"""High-level velocity-field API.
+
+`compute_velocity_fields` is the TPU equivalent of the reference pipeline
+compute_geometrical_quantities -> compute_velocity_field
+(utils/compute_optical_flow.py:27-194): one call solves every frame of a
+potentials movie and returns the velocity DOFs in the reference's layout
+(T-1, 2N) (dof = vertex + N * alpha), so downstream artifacts interoperate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from manifold_flow_tpu.fem import assembly
+from manifold_flow_tpu.fem.operator import (
+    FlowOperator,
+    block_jacobi_inverse,
+    make_operator,
+)
+from manifold_flow_tpu.geometry.mesh import TriMesh
+from manifold_flow_tpu.solve.cg import solve_cg
+from manifold_flow_tpu.solve.cholesky import solve_cholesky
+
+
+class VelocityResult(NamedTuple):
+    v_k: jnp.ndarray         # (T-1, 2N) velocity DOFs
+    e: jnp.ndarray           # (N, 2, 3) tangent bases
+    iterations: jnp.ndarray  # () CG iterations (0 for direct solves)
+    residual: jnp.ndarray    # (T-1,) final |f - A x| per frame
+    converged: jnp.ndarray   # (T-1,) bool per frame
+
+
+def build_rhs(mesh: TriMesh, operator: FlowOperator, potentials: jnp.ndarray,
+              times: jnp.ndarray, potentials_next: jnp.ndarray | None = None
+              ) -> jnp.ndarray:
+    """RHS f (T-1, 2N). `potentials_next` supports the reference's optional
+    second movie I_k_2 (worker args at utils/compute_optical_flow.py:174-176);
+    it defaults to `potentials`."""
+    nxt = potentials if potentials_next is None else potentials_next
+    dt = (times[1:] - times[:-1])[:, None]
+    di = (nxt[1:] - potentials[:-1]) / dt
+    return assembly.rhs_vector(mesh, operator.g, di)
+
+
+def compute_velocity_fields(
+    mesh: TriMesh,
+    potentials: jnp.ndarray,
+    times: jnp.ndarray,
+    lambda_: float = 0.01,
+    method: str = "cg",
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+    precise_dots: bool = False,
+    refine_steps: int = 2,
+    batch_size: int = 4,
+    potentials_next: jnp.ndarray | None = None,
+) -> VelocityResult:
+    """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
+
+    Args:
+      mesh: TriMesh (geometry precompute happens at mesh construction).
+      potentials: (T, N) scalar field movie (interpolated potentials/phases).
+      times: (T,) frame times in seconds (the reference's t_k, S3:86-89).
+      lambda_: regularization weight (config.yaml:3, default 0.01).
+      method: 'cg' (batched matrix-free PCG) or 'cholesky' (batched dense
+        direct solve with iterative refinement).
+    """
+    potentials = jnp.asarray(potentials)
+    times = jnp.asarray(times, dtype=potentials.dtype)
+    if potentials.ndim != 2 or potentials.shape[1] != mesh.n_vertices:
+        raise ValueError(
+            f"potentials must be (T, N={mesh.n_vertices}); got {potentials.shape}"
+            " — out-of-range vertex gathers would otherwise clamp silently")
+    if times.shape != (potentials.shape[0],):
+        raise ValueError(
+            f"times must be ({potentials.shape[0]},) to match the movie; "
+            f"got {times.shape}")
+    if potentials.shape[0] < 2:
+        raise ValueError("need at least 2 frames to form a velocity field")
+    op = make_operator(mesh, potentials, lambda_)
+    f = build_rhs(mesh, op, potentials, times, potentials_next)
+
+    if method == "cg":
+        pre = block_jacobi_inverse(mesh, op.g, lambda_)
+        res = solve_cg(op, f, precond=pre, tol=tol, max_iter=max_iter,
+                       precise_dots=precise_dots)
+        return VelocityResult(res.x, mesh.basis, res.iterations,
+                              res.residual, res.converged)
+    if method == "cholesky":
+        x = solve_cholesky(mesh, op, f, refine_steps=refine_steps,
+                           batch_size=batch_size)
+        r = f - op.matvec(x)
+        rn = jnp.linalg.norm(r, axis=-1)
+        fn = jnp.maximum(jnp.linalg.norm(f, axis=-1),
+                         jnp.finfo(f.dtype).tiny)
+        return VelocityResult(x, mesh.basis, jnp.int32(0), rn, rn <= tol * fn)
+    raise ValueError(f"unknown method: {method!r} (want 'cg' or 'cholesky')")
