@@ -1,0 +1,262 @@
+"""Parity tests for winding numbers, wave speeds, SVD, RBF, phases,
+streamlines."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.interpolate
+import scipy.signal
+
+from manifold_flow_tpu.geometry import synthetic, topology
+from manifold_flow_tpu.ops import (
+    interpolate,
+    phase,
+    singularity,
+    streamline,
+    svd,
+    validation,
+    wavespeed,
+    winding,
+)
+from manifold_flow_tpu.ops.recombine import (
+    velocity_to_complex,
+    velocity_to_world,
+    world_speed,
+)
+from manifold_flow_tpu.solve.api import compute_velocity_fields
+from tests.oracle import analysis_impl as oracle
+
+
+@pytest.fixture(scope="module")
+def source_setup():
+    mesh = synthetic.plane_patch(nx=20, ny=20, lx=10.0, ly=10.0)
+    pot, times, truth = synthetic.two_source_movie(mesh, n_frames=5)
+    res = compute_velocity_fields(mesh, jnp.asarray(pot), jnp.asarray(times),
+                                  method="cg", tol=1e-12)
+    v3 = velocity_to_world(res.v_k, mesh.basis)
+    return mesh, pot, times, truth, res, np.asarray(v3)
+
+
+# ---------------------------------------------------------------- winding --
+def test_ring_winding_matches_oracle(source_setup):
+    mesh, _, _, truth, _, v3 = source_setup
+    center = int(topology.closest_vertex(mesh.points, jnp.asarray(truth[0]))[()]
+                 ) if truth[0].ndim else 0
+    center = int(np.argmin(
+        np.linalg.norm(np.asarray(mesh.points) - truth[0], axis=-1)))
+    prof = np.asarray(winding.winding_profile(
+        mesh, jnp.asarray(v3[2]), jnp.int32(center), max_level=6))
+    levels = np.asarray(topology.bfs_levels(
+        mesh.vertex_neighbors, jnp.int32(center), 6))
+    e = np.asarray(mesh.basis)
+    pts = np.asarray(mesh.points)
+    for lvl in range(1, 7):
+        ring = np.where(levels == lvl)[0]
+        want = oracle.ring_winding_np(
+            pts, v3[2], e[center, 0], e[center, 1], center, ring)
+        np.testing.assert_allclose(prof[lvl - 1], want, rtol=1e-9, atol=1e-12)
+
+
+def test_winding_radial_and_saddle_fields():
+    """Analytic fields with known index: source (+1 every ring), saddle (-1),
+    and a vortex-free shear field (no match -> type 0, count 0)."""
+    mesh = synthetic.plane_patch(nx=21, ny=21, lx=10.0, ly=10.0)
+    pts = np.asarray(mesh.points)
+    center_pt = np.array([5.0, 5.0, 0.0])
+    rel = pts - center_pt
+
+    radial = np.zeros_like(pts)
+    radial[:, :2] = rel[:, :2]
+    saddle = np.zeros_like(pts)
+    saddle[:, 0] = rel[:, 0]
+    saddle[:, 1] = -rel[:, 1]
+    shear = np.zeros_like(pts)
+    shear[:, 0] = 1.0 + 0.1 * rel[:, 1]
+
+    q = jnp.asarray(center_pt[None])
+    valid = jnp.ones(1, dtype=bool)
+    max_level = 6
+    for field, want_type, want_count in [
+        (radial, 1, max_level), (saddle, -1, max_level), (shear, 0, 0)]:
+        r = winding.analyze_singularities(
+            mesh, jnp.asarray(field), q, valid, max_level=max_level)
+        assert int(r.types[0]) == want_type, (want_type, np.asarray(r))
+        assert int(r.counts[0]) == want_count, (want_count, np.asarray(r))
+
+
+def test_winding_profile_interference_is_local(source_setup):
+    """At a two-source interference field only ring 1 is reliably +1 — the
+    op must report type +1 with a small persistence count, not force +1."""
+    mesh, _, _, truth, _, v3 = source_setup
+    result = winding.analyze_singularities(
+        mesh, jnp.asarray(v3[2]), jnp.asarray(truth),
+        jnp.ones(len(truth), dtype=bool), max_level=8)
+    types = np.asarray(result.types)
+    counts = np.asarray(result.counts)
+    assert np.all(types == 1), types
+    assert np.all(counts >= 1), counts
+
+
+# -------------------------------------------------------------- wavespeed --
+def test_vertex_gradients_match_oracle(source_setup):
+    mesh, pot, _, _, _, _ = source_setup
+    got = np.asarray(wavespeed.vertex_gradients(mesh, jnp.asarray(pot[:2])))
+    want = oracle.vertex_gradients_np(
+        np.asarray(mesh.points), np.asarray(mesh.triangles), pot[:2],
+        np.asarray(mesh.areas), np.asarray(mesh.vertex_cells))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_wave_speed_plane_wave():
+    """For I = cos(k.x - w t): |dI/dt| / |grad I| = w/|k| everywhere."""
+    mesh = synthetic.plane_patch(nx=24, ny=24, lx=12.0, ly=12.0)
+    # Long wavelength relative to the grid: the P1 gradient magnitude has a
+    # sinc-like discretization factor (~1 - (kh)^2/6), so keep kh small.
+    omega, kvec = 1.0, (0.4, 0.2, 0.0)
+    pot, times = synthetic.plane_wave_movie(
+        mesh, n_frames=12, wave_vector=kvec, omega=omega, dt=0.05)
+    ws = np.asarray(wavespeed.wave_velocity_amplitude(
+        mesh, jnp.asarray(pot), 0.05))
+    pts = np.asarray(mesh.points)
+    interior = ((pts[:, 0] > 2) & (pts[:, 0] < 10)
+                & (pts[:, 1] > 2) & (pts[:, 1] < 10))
+    expected = omega / np.linalg.norm(kvec)
+    med = np.median(np.abs(ws[5, interior]))
+    assert abs(med - expected) / expected < 0.03, (med, expected)
+
+
+def test_phase_gradient_wraps():
+    data = jnp.asarray(np.array([[3.1, -3.1], [-3.1, 3.1], [3.0, -3.0]]))
+    g = np.asarray(phase.temporal_gradient_phase(data, 1.0))
+    # 3.1 -> -3.1 crosses the wrap: true step is +~0.083, not -6.2.
+    assert abs(g[0, 0] - (2 * np.pi - 6.2)) < 1e-9
+    assert g.shape == data.shape
+
+
+def test_hilbert_matches_scipy():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 6))
+    got = np.asarray(phase.hilbert(jnp.asarray(x), axis=0))
+    want = scipy.signal.hilbert(x, axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+    got_last = np.asarray(phase.hilbert(jnp.asarray(x[:, :5]), axis=-1))
+    want_last = scipy.signal.hilbert(x[:, :5])  # scipy default axis=-1
+    np.testing.assert_allclose(got_last, want_last, rtol=1e-9, atol=1e-10)
+
+
+# -------------------------------------------------------------------- svd --
+def test_svd_complex_matches_numpy(source_setup):
+    _, _, _, _, res, _ = source_setup
+    v_k = np.asarray(res.v_k)
+    modes = svd.decompose_complex(jnp.asarray(v_k), n_modes=4)
+    n = v_k.shape[1] // 2
+    movie = v_k[:, :n] + 1j * v_k[:, n:]
+    u, s, vt = np.linalg.svd(movie, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(modes.sigma), s[:4], rtol=1e-9)
+    # Reconstruction through the kept modes matches numpy's.
+    rec_got = np.asarray(modes.u) @ np.diag(np.asarray(modes.sigma)) @ np.asarray(modes.vt)
+    rec_want = u[:, :4] @ np.diag(s[:4]) @ vt[:4]
+    np.testing.assert_allclose(rec_got, rec_want, rtol=1e-7, atol=1e-9)
+    # Sign convention: kept temporal modes have non-negative mean real part.
+    assert np.all(np.mean(np.real(np.asarray(modes.u)), axis=0) >= -1e-12)
+
+
+def test_svd_concat_energy(source_setup):
+    _, _, _, _, res, _ = source_setup
+    modes = svd.decompose_concat(res.v_k)
+    pct2 = np.asarray(modes.pct_squared)
+    assert abs(pct2.sum() - 100.0) < 0.5
+    # Mode energies sorted descending.
+    s = np.asarray(modes.sigma)
+    assert np.all(np.diff(s) <= 1e-12)
+    # Complex reconstruction from concat halves == complex movie modes.
+    c = svd.concat_modes_to_complex(modes.vt)
+    assert c.shape == (modes.vt.shape[0], res.v_k.shape[1] // 2)
+
+
+def test_mode_to_world_matches_recombine(source_setup):
+    mesh, _, _, _, res, _ = source_setup
+    movie = velocity_to_complex(res.v_k)
+    w = np.asarray(svd.mode_to_world(movie[0], mesh.basis))
+    want = np.asarray(velocity_to_world(res.v_k[:1], mesh.basis))[0]
+    np.testing.assert_allclose(w, want, rtol=1e-10, atol=1e-12)
+
+
+# -------------------------------------------------------------------- rbf --
+def test_rbf_matches_scipy():
+    rng = np.random.default_rng(11)
+    coords = rng.uniform(0, 10, size=(40, 3))
+    targets = rng.uniform(0, 10, size=(150, 3))
+    values = np.sin(coords[:, 0]) + coords[:, 1] * 0.2
+    got = np.asarray(interpolate.rbf_interpolate(
+        jnp.asarray(coords), jnp.asarray(values[None]), jnp.asarray(targets)))[0]
+    rbf = scipy.interpolate.Rbf(coords[:, 0], coords[:, 1], coords[:, 2], values)
+    want = rbf(targets[:, 0], targets[:, 1], targets[:, 2])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_rbf_complex_unit_circle():
+    rng = np.random.default_rng(13)
+    coords = rng.uniform(0, 10, size=(30, 3))
+    targets = coords[:10]
+    phases_in = rng.uniform(-np.pi, np.pi, size=(3, 30))
+    values = np.exp(1j * phases_in)
+    got = np.asarray(interpolate.rbf_interpolate(
+        jnp.asarray(coords), jnp.asarray(values), jnp.asarray(targets)))
+    # Interpolation at the sample sites reproduces the samples.
+    np.testing.assert_allclose(got, values[:, :10], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.angle(got), phases_in[:, :10], rtol=1e-6, atol=1e-7)
+
+
+# ------------------------------------------------------------- streamline --
+def test_streamlines_follow_plane_flow():
+    """Uniform +x flow on a flat patch: streamlines march straight in +x."""
+    mesh = synthetic.plane_patch(nx=16, ny=16, lx=8.0, ly=8.0)
+    v3 = np.zeros((mesh.n_vertices, 3))
+    v3[:, 0] = 1.0
+    sl = streamline.trace(mesh, jnp.asarray(v3), max_steps=40)
+    lines = streamline.compact(mesh, sl, min_length=5)
+    assert len(lines) > 0
+    for line in lines[:10]:
+        dx = np.diff(line[:, 0])
+        dy = np.diff(line[:, 1])
+        assert np.all(dx > 0)           # monotone in +x
+        assert np.all(np.abs(dy) < 1e-9)  # no drift on a regular grid
+    # Left-column seeds walk all the way across the patch.
+    max_len = max(len(l) for l in lines)
+    assert max_len >= 15
+
+
+def test_streamlines_stop_at_revisit_and_boundary(source_setup):
+    mesh, _, _, _, _, v3 = source_setup
+    sl = streamline.trace(mesh, jnp.asarray(v3[2]), max_steps=64)
+    verts = np.asarray(sl.vertices)
+    lengths = np.asarray(sl.lengths)
+    # No repeated vertex within any streamline.
+    for i in range(0, verts.shape[0], 37):
+        ids = verts[i, : lengths[i]]
+        assert len(set(ids.tolist())) == len(ids)
+
+
+# ------------------------------------------------------------- validation --
+def test_validation_scores_two_source(source_setup):
+    mesh, _, _, truth, _, v3 = source_setup
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=0.02)
+    detected = []
+    for k in range(v3.shape[0]):
+        pts, _, _ = singularity.compact_frame(mesh, field, k)
+        detected.append(pts)
+    truth_per_frame = [truth] * len(detected)
+    report = validation.score_all_frames(
+        mesh, detected, truth_per_frame, threshold=2.0,
+        turning_point=len(detected))
+    assert report.matched >= len(detected)  # quirk: +1 per frame
+    assert report.err_max <= 2.0
+
+
+def test_speed_map(source_setup):
+    _, _, _, _, res, v3 = source_setup
+    sp = np.asarray(world_speed(jnp.asarray(v3)))
+    assert sp.shape == v3.shape[:2]
+    np.testing.assert_allclose(sp[0, 0], np.linalg.norm(v3[0, 0]))

@@ -1,0 +1,114 @@
+"""Singularity detection/classification parity vs the reference-style oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from manifold_flow_tpu.geometry import synthetic
+from manifold_flow_tpu.ops import singularity
+from manifold_flow_tpu.ops.recombine import velocity_to_world
+from manifold_flow_tpu.solve.api import compute_velocity_fields
+from tests.oracle import analysis_impl as oracle
+
+
+def _field(mesh, n_frames=4):
+    pot, times, truth = synthetic.two_source_movie(mesh, n_frames=n_frames)
+    res = compute_velocity_fields(mesh, jnp.asarray(pot), jnp.asarray(times),
+                                  method="cg", tol=1e-12)
+    v3 = velocity_to_world(res.v_k, mesh.basis)
+    return np.asarray(v3), truth
+
+
+def test_detection_matches_oracle():
+    # Generic (bumpy) mesh: on a perfectly symmetric flat grid the field
+    # zeros land exactly on triangle edges and the accept/reject decision
+    # flips on 1e-15 rounding between np.linalg.lstsq and the closed-form
+    # normal equations; a generic surface has strictly-interior zeros.
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=10.0, ly=10.0,
+        height=lambda x, y: 0.3 * np.sin(0.9 * x) * np.cos(0.7 * y))
+    v3, _ = _field(mesh)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=1e-4)
+    pts = np.asarray(mesh.points)
+    tris = np.asarray(mesh.triangles)
+    for k in range(v3.shape[0]):
+        want_v, want_i, want_vmax = oracle.find_singularities_np(
+            pts, tris, v3[k], 1e-4)
+        got_v = np.where(np.asarray(field.vertex_mask[k]))[0].tolist()
+        assert got_v == want_v
+        got_i = np.where(np.asarray(field.interior_mask[k]))[0].tolist()
+        assert got_i == [m for m, *_ in want_i]
+        np.testing.assert_allclose(float(field.v_max[k]), want_vmax)
+        for (m, lam, mu, p) in want_i:
+            np.testing.assert_allclose(
+                np.asarray(field.interior_bary[k, m]), [lam, mu],
+                rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(
+                np.asarray(field.interior_point[k, m]), p,
+                rtol=1e-8, atol=1e-10)
+
+
+def test_detection_finds_two_sources():
+    """End-to-end: the two-source benchmark recovers both emitters
+    (the reference's simulated-data gate, SURVEY.md §4)."""
+    mesh = synthetic.plane_patch(nx=24, ny=24, lx=10.0, ly=10.0)
+    v3, truth = _field(mesh, n_frames=4)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=0.02)
+    pts, kinds, ids = singularity.compact_frame(mesh, field, 1)
+    assert len(pts) >= 2
+    # Each true source has a detection within 1.5 grid cells.
+    cell = 10.0 / 23
+    for t in truth:
+        d = np.linalg.norm(pts - t, axis=-1).min()
+        assert d <= 1.5 * cell, f"source at {t} missed (nearest {d})"
+
+
+def test_vertex_jacobian_matches_oracle():
+    mesh = synthetic.plane_patch(nx=12, ny=12, lx=6.0, ly=6.0,
+                                 height=lambda x, y: 0.1 * x * y)
+    rng = np.random.default_rng(3)
+    v3 = rng.normal(size=(2, mesh.n_vertices, 3))
+    vmax = np.linalg.norm(v3, axis=-1).max(axis=-1)
+    jv = np.asarray(singularity.vertex_jacobians(
+        mesh, jnp.asarray(v3), jnp.asarray(vmax)))
+    pts = np.asarray(mesh.points)
+    e = np.asarray(mesh.basis)
+    vn = np.asarray(mesh.vertex_neighbors)
+    deg = np.asarray(mesh.vertex_degree)
+    for k in (0, 1):
+        for i in (0, 25, 77, 143):
+            nbs = vn[i, : deg[i]]
+            want = oracle.vertex_jacobian_np(
+                pts, nbs, v3[k], vmax[k], e[i, 0], e[i, 1], i)
+            np.testing.assert_allclose(jv[k, i], want, rtol=1e-9, atol=1e-11)
+
+
+def test_classification_codes():
+    # Canonical 2x2 Jacobians.
+    node = jnp.asarray([[2.0, 0.0], [0.0, 1.0]])       # det>0, tr^2>4det
+    focus = jnp.asarray([[0.1, -1.0], [1.0, 0.1]])     # det>0, tr^2<4det
+    saddle = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])    # det<0
+    degen = jnp.asarray([[1.0, 0.0], [0.0, 0.0]])      # det==0
+    jac = jnp.stack([node, focus, saddle, degen])
+    codes = np.asarray(singularity.classify_jacobian(jac))
+    assert [singularity.CLASS_NAMES[c] for c in codes] == [
+        "Node", "Focus", "Saddle", "Indeterminate"]
+    for j, name in [(node, "Node"), (focus, "Focus"), (saddle, "Saddle")]:
+        assert oracle.classify_np(np.asarray(j)) == name
+
+
+def test_classify_two_source_centers_are_nodes():
+    """Flow out of a wave source has positive-definite Jacobian -> Node."""
+    mesh = synthetic.plane_patch(nx=24, ny=24, lx=10.0, ly=10.0)
+    v3, truth = _field(mesh, n_frames=4)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=0.02)
+    codes_v, codes_i = singularity.classify(mesh, jnp.asarray(v3), field)
+    cv = np.asarray(codes_v[1])
+    vm = np.asarray(field.vertex_mask[1])
+    pts = np.asarray(mesh.points)
+    for t in truth:
+        # The singular vertex nearest this source should classify Node/Focus.
+        cand = np.where(vm)[0]
+        if len(cand) == 0:
+            continue
+        i = cand[np.argmin(np.linalg.norm(pts[cand] - t, axis=-1))]
+        assert singularity.CLASS_NAMES[cv[i]] in ("Node", "Focus")
