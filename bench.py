@@ -1,0 +1,138 @@
+"""Benchmark: manifold optical-flow velocity solve, TPU vs CPU reference.
+
+Problem: reference-scale cortical-patch analogue — ~3.1k-vertex curved
+surface (the CCEP grids reconstruct to ~3101 vertices / ~6202 velocity DOFs,
+SURVEY.md §0), 98-frame potentials movie (config.yaml:5), lambda = 0.01.
+
+TPU path: batched matrix-free block-Jacobi PCG over all frames at once
+(manifold_flow_tpu.solve). CPU baseline: vectorized scipy assembly +
+SuperLU spsolve per frame — the reference algorithm
+(utils/compute_optical_flow.py:100-149) in its strongest reasonable NumPy
+form (the original's pure-Python triangle loops would be ~100x slower still).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": frames/s on this chip, "unit": "frames/s",
+   "vs_baseline": TPU frames/s / CPU frames/s, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(dtype=np.float32):
+    from manifold_flow_tpu.geometry import synthetic
+
+    mesh = synthetic.plane_patch(
+        nx=56, ny=56, lx=60.0, ly=60.0,
+        height=lambda x, y: 6.0 * np.sin(x / 12.0) * np.cos(y / 15.0),
+        dtype=np.float64,
+    )
+    pot, times, _ = synthetic.two_source_movie(
+        mesh, sources=((15.0, 15.0), (45.0, 45.0)), n_frames=98,
+        speed=24.0, wavelength=24.0, dt=1.0 / 512.0, dtype=np.float64,
+    )
+    return mesh, pot, times
+
+
+def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=2e-6):
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_flow_tpu.geometry.mesh import build_mesh
+    from manifold_flow_tpu.solve.api import compute_velocity_fields
+
+    mesh = build_mesh(np.asarray(mesh64.points), np.asarray(mesh64.triangles),
+                      dtype=dtype)
+    potd = jnp.asarray(pot.astype(dtype))
+    timesd = jnp.asarray(times.astype(dtype))
+
+    def step(p, t):
+        return compute_velocity_fields(
+            mesh, p, t, lambda_=0.01, method="cg", tol=tol,
+            max_iter=4000)
+
+    jitted = jax.jit(lambda p, t: step(p, t).v_k)
+    out = jitted(potd, timesd)
+    out.block_until_ready()  # compile + warmup
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jitted(potd, timesd)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    n_frames = pot.shape[0] - 1
+    res = step(potd, timesd)
+    return np.asarray(out), n_frames / best, res
+
+
+def bench_cpu_baseline(mesh, pot, times, n_sample=6):
+    """Frames/s of the vectorized scipy oracle (assembly + spsolve)."""
+    from tests.oracle import reference_impl as ref
+
+    points = np.asarray(mesh.points)
+    triangles = np.asarray(mesh.triangles)
+    normals = np.asarray(mesh.normals)
+    e = ref.orthonormal_basis_np(normals)
+    grad_w = ref.hat_gradients_np(points, triangles)
+    areas = ref.triangle_areas_np(points, triangles)
+    a2 = ref.assemble_a2_np(triangles, areas, e, grad_w)
+
+    from scipy.sparse.linalg import spsolve
+
+    sols = []
+    t0 = time.perf_counter()
+    for k in range(n_sample):
+        a1, f = ref.assemble_frame_np(
+            pot[k], pot[k + 1], times[k + 1] - times[k],
+            triangles, grad_w, e, areas)
+        sols.append(spsolve((a1 + 0.01 * a2).tocsr(), f))
+    dt = time.perf_counter() - t0
+    return np.stack(sols), n_sample / dt
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: the remote TPU compile path has a large
+    # cold-start cost; cache executables across bench runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mflow_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    platform = jax.devices()[0].platform
+    mesh, pot, times = build_problem()
+
+    dtype = np.float32 if platform != "cpu" else np.float64
+    v_tpu, fps_tpu, res = bench_tpu(mesh, pot, times, dtype)
+
+    n_sample = 6
+    v_cpu, fps_cpu = bench_cpu_baseline(mesh, pot, times, n_sample=n_sample)
+
+    scale = max(np.abs(v_cpu).max(), 1e-30)
+    rmse = float(np.sqrt(np.mean(
+        (v_tpu[:n_sample].astype(np.float64) - v_cpu) ** 2)) / scale)
+
+    print(json.dumps({
+        "metric": "optical_flow_frames_per_sec_per_chip",
+        "value": round(fps_tpu, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_tpu / fps_cpu, 2),
+        "cpu_baseline_fps": round(fps_cpu, 2),
+        "rmse_vs_spsolve_normalized": rmse,
+        "converged": bool(np.all(np.asarray(res.converged))),
+        "cg_iterations": int(res.iterations),
+        "platform": platform,
+        "n_vertices": mesh.n_vertices,
+        "n_frames": pot.shape[0] - 1,
+        "dtype": np.dtype(dtype).name,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,19 +109,33 @@ def dense_a2(mesh: TriMesh) -> jnp.ndarray:
     return scatter_dense(mesh, a2_blocks(mesh))
 
 
-def diag_blocks(mesh: TriMesh, g: jnp.ndarray, lambda_: float) -> jnp.ndarray:
-    """Per-vertex 2x2 diagonal blocks of A = a1 + lambda a2: (T, N, 2, 2).
+def diag_contributions(mesh: TriMesh, g: jnp.ndarray,
+                       lambda_: float) -> jnp.ndarray:
+    """Per-triangle per-corner diagonal 2x2 contributions (T, M, 3, 2, 2).
 
-    Used for the block-Jacobi preconditioner. Contribution of triangle m at
-    corner c: lambda * (e_c^a . e_c^b)|grad_c|^2 A  +  g_c^a g_c^b A/6.
+    Contribution of triangle m at corner c to the diagonal block of
+    A = a1 + lambda a2:  lambda * (e_c^a . e_c^b)|grad_c|^2 A  +  g_c^a g_c^b A/6.
+    Kept per-triangle so distributed solvers can shard the triangle axis and
+    scatter + psum locally (parallel.partition).
     """
     et = corner_bases(mesh)                                   # (M, 3, 2, 3)
     ee = jnp.einsum("mcad,mcbd->mcab", et, et)                # (M, 3, 2, 2)
     gg = jnp.sum(mesh.grad_w * mesh.grad_w, axis=-1)          # (M, 3)
     reg = ee * (gg * mesh.areas[:, None])[:, :, None, None]   # (M, 3, 2, 2)
     dat = jnp.einsum("tmca,tmcb->tmcab", g, g) * (mesh.areas / 6.0)[:, None, None, None]
-    contrib = lambda_ * reg[None] + dat                       # (T, M, 3, 2, 2)
+    return lambda_ * reg[None] + dat                          # (T, M, 3, 2, 2)
+
+
+def scatter_diag(contrib: jnp.ndarray, triangles: jnp.ndarray,
+                 n_vertices: int) -> jnp.ndarray:
+    """Scatter (T, M, 3, 2, 2) corner contributions -> (T, N, 2, 2)."""
     t = contrib.shape[0]
-    out = jnp.zeros((t, mesh.n_vertices, 2, 2), dtype=contrib.dtype)
-    idx = mesh.triangles.reshape(-1)
+    out = jnp.zeros((t, n_vertices, 2, 2), dtype=contrib.dtype)
+    idx = triangles.reshape(-1)
     return out.at[:, idx].add(contrib.reshape(t, -1, 2, 2))
+
+
+def diag_blocks(mesh: TriMesh, g: jnp.ndarray, lambda_: float) -> jnp.ndarray:
+    """Per-vertex 2x2 diagonal blocks of A = a1 + lambda a2: (T, N, 2, 2)."""
+    return scatter_diag(diag_contributions(mesh, g, lambda_), mesh.triangles,
+                        mesh.n_vertices)

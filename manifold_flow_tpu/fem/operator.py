@@ -42,6 +42,10 @@ class FlowOperator:
     w_scale: jnp.ndarray
     lambda_: jnp.ndarray
     n_dof: int = dataclasses.field(metadata=dict(static=True))
+    # When the triangle set is partitioned across a named mesh axis
+    # (parallel.partition), local contributions are combined with a psum.
+    axis_name: str | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def n_frames(self) -> int:
@@ -60,7 +64,10 @@ class FlowOperator:
         y1 = self.g * w[..., None]                           # (T, M, 3, 2)
         y_loc = self.lambda_ * y2 + y1.reshape(t, m, 6)
         out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
-        return out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
+        out = out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
+        if self.axis_name is not None:
+            out = jax.lax.psum(out, self.axis_name)
+        return out
 
 
 def make_operator(mesh: TriMesh, potentials: jnp.ndarray,
@@ -84,7 +91,11 @@ def make_operator(mesh: TriMesh, potentials: jnp.ndarray,
 def block_jacobi_inverse(mesh: TriMesh, g: jnp.ndarray,
                          lambda_: float) -> jnp.ndarray:
     """Inverted per-vertex 2x2 diagonal blocks (T, N, 2, 2) of A."""
-    d = assembly.diag_blocks(mesh, g, lambda_)
+    return invert_2x2_blocks(assembly.diag_blocks(mesh, g, lambda_))
+
+
+def invert_2x2_blocks(d: jnp.ndarray) -> jnp.ndarray:
+    """Analytic inverse of (..., 2, 2) blocks; singular blocks -> identity."""
     a, b = d[..., 0, 0], d[..., 0, 1]
     c, e = d[..., 1, 0], d[..., 1, 1]
     det = a * e - b * c

@@ -1,0 +1,300 @@
+"""Composable pipeline stages mirroring the reference's S0-S7 scripts.
+
+Each stage is a function over in-memory arrays plus a thin artifact wrapper
+that reads/writes the reference's file formats (utils.io), so outputs
+interoperate with the original pipeline. Device compute goes through the
+framework's ops; host-only steps (MNE preprocessing) are gated on their
+optional dependencies.
+
+Stage map (SURVEY.md §2):
+  S0 preprocess            -> preprocess_subject (requires mne; gated)
+  S1 reconstruct surface   -> reconstruct_stage (VTK-free, geometry.reconstruct)
+  S2 interpolate           -> interpolate_stage (+ phases variant)
+  S3 velocity + detection  -> velocity_stage, singularity_stage
+  S4 SVD decomposition     -> decompose_stage
+  S5 wave speeds           -> wavespeed_stage
+  S6 streamlines           -> streamline_stage
+  S7 winding lines         -> winding_stage
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from manifold_flow_tpu.geometry import reconstruct
+from manifold_flow_tpu.geometry.mesh import TriMesh, build_mesh
+from manifold_flow_tpu.ops import (
+    interpolate as rbf_ops,
+    phase as phase_ops,
+    singularity as sing_ops,
+    streamline as stream_ops,
+    svd as svd_ops,
+    wavespeed as wave_ops,
+    winding as wind_ops,
+)
+from manifold_flow_tpu.ops.recombine import velocity_to_world, world_speed
+from manifold_flow_tpu.pipeline.config import PipelineConfig
+from manifold_flow_tpu.solve.api import compute_velocity_fields
+from manifold_flow_tpu.utils import io
+
+
+# ------------------------------------------------------------------- S0 ----
+def preprocess_subject(subject_dir, results_dir, config: PipelineConfig):
+    """S0: BrainVision -> filtered, re-referenced epochs + per-site evokeds.
+
+    Requires MNE-Python (host-side, runs once per subject). Mirrors
+    process_subject (S0_preprocess.py:133-172): band-pass low_freq..high_freq,
+    notch at the recording's PowerLineFrequency, ECOG/good/included channel
+    pick, average reference, epochs on electrical_stimulation events with
+    baseline correction, per-stimulation-site evoked averages.
+    """
+    try:
+        import mne  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "preprocess_subject requires MNE-Python (not installed in this "
+            "image); run this stage on a host with mne, or start from the "
+            "interpolation stage with precomputed evokeds") from e
+    from manifold_flow_tpu.pipeline import preprocess as _pre
+
+    return _pre.process_subject(subject_dir, results_dir, config.preprocess)
+
+
+# ------------------------------------------------------------------- S1 ----
+class ReconstructionResult(NamedTuple):
+    mesh: TriMesh
+    points: np.ndarray
+    triangles: np.ndarray
+
+
+def reconstruct_stage(electrode_coords, config: PipelineConfig,
+                      save_path=None) -> ReconstructionResult:
+    """S1: electrode point cloud -> smoothed, subdivided triangle surface."""
+    pts, tris = reconstruct.reconstruct_surface(
+        electrode_coords,
+        smooth_iters=config.reconstruction.smooth_iters,
+        subdivisions=config.reconstruction.subdivisions,
+    )
+    if save_path is not None:
+        io.ensure_dir(save_path)
+        io.write_ply(save_path, pts, tris)
+    return ReconstructionResult(build_mesh(pts, tris), pts, tris)
+
+
+def load_surface(path) -> TriMesh:
+    """Load a (reference-produced or own) PLY surface into a TriMesh."""
+    pts, tris = io.read_ply(path)
+    return build_mesh(pts, tris)
+
+
+# ------------------------------------------------------------------- S2 ----
+def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
+                      config: PipelineConfig, sfreq: float | None = None,
+                      phases: bool = False, save_path=None) -> np.ndarray:
+    """S2: electrode movie (T, E) -> vertex movie (T, N) via on-device RBF.
+
+    With phases=True follows S2_interpolate_phases: Hilbert phase per
+    electrode, interpolate e^{i phi}, return the angle of the interpolant.
+    When `sfreq` is given, the movie is windowed to
+    [start_time, end_time) seconds (S2_interpolate.py:19-20,109-110).
+    """
+    import jax.numpy as jnp
+
+    data = np.asarray(electrode_data)
+    if sfreq is not None:
+        s = int(config.interpolation.start_time * sfreq)
+        e = int(config.interpolation.end_time * sfreq)
+        data = data[s:e]
+    if phases:
+        phi = np.asarray(phase_ops.instantaneous_phase(
+            jnp.asarray(np.asarray(electrode_data)), axis=0))
+        if sfreq is not None:
+            s = int(config.interpolation.start_time * sfreq)
+            e = int(config.interpolation.end_time * sfreq)
+            phi = phi[s:e]
+        values = jnp.asarray(np.exp(1j * phi))
+    else:
+        values = jnp.asarray(data)
+    out = rbf_ops.rbf_interpolate(
+        jnp.asarray(np.asarray(electrode_coords)), values,
+        mesh.points, smooth=config.interpolation.smooth,
+        kind=config.interpolation.kind)
+    out = np.asarray(jnp.angle(out) if phases else out)
+    if save_path is not None:
+        io.ensure_dir(save_path)
+        io.save_indexed_csv(save_path, out)
+    return out
+
+
+# ------------------------------------------------------------------- S3 ----
+class VelocityStage(NamedTuple):
+    v_k: np.ndarray        # (T-1, 2N)
+    e: np.ndarray          # (N, 2, 3)
+    v_world: np.ndarray    # (T-1, N, 3)
+    speed: np.ndarray      # (T-1, N) optical-flow wave-speed map (C12)
+    iterations: int
+    converged: bool
+
+
+def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
+                   e_path=None, v_k_path=None, speed_path=None,
+                   device_mesh=None) -> VelocityStage:
+    """S3 core: velocity fields + recombination + speed map (+ artifacts)."""
+    import jax.numpy as jnp
+
+    if device_mesh is not None:
+        from manifold_flow_tpu.parallel import sharded_compute_velocity_fields
+
+        res = sharded_compute_velocity_fields(
+            mesh, jnp.asarray(potentials), jnp.asarray(times), device_mesh,
+            lambda_=config.solver.lambda_, tol=config.solver.tol,
+            max_iter=config.solver.max_iter)
+    else:
+        res = compute_velocity_fields(
+            mesh, jnp.asarray(potentials), jnp.asarray(times),
+            lambda_=config.solver.lambda_, method=config.solver.method,
+            tol=config.solver.tol, max_iter=config.solver.max_iter)
+    v_world = velocity_to_world(res.v_k, mesh.basis)
+    speed = world_speed(v_world)
+    if e_path is not None:
+        io.ensure_dir(e_path)
+        io.save_e_csv(e_path, np.asarray(mesh.basis))
+    if v_k_path is not None:
+        io.ensure_dir(v_k_path)
+        io.save_indexed_csv(v_k_path, np.asarray(res.v_k))
+    if speed_path is not None:
+        io.ensure_dir(speed_path)
+        io.save_pickle(speed_path, np.asarray(speed))
+    return VelocityStage(
+        v_k=np.asarray(res.v_k), e=np.asarray(mesh.basis),
+        v_world=np.asarray(v_world), speed=np.asarray(speed),
+        iterations=int(res.iterations),
+        converged=bool(np.all(np.asarray(res.converged))))
+
+
+def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
+                      classify: bool = False, save_path=None):
+    """S3 detection: per-frame singularity lists (+ classification).
+
+    Returns (points_per_frame, labels_per_frame) where labels are
+    reference-style strings; saves the reference's pickle format
+    (find_singularity_point.py:760-761)."""
+    import jax.numpy as jnp
+
+    v = jnp.asarray(v_world)
+    field = sing_ops.detect(mesh, v, eps=config.solver.eps)
+    labels_all = None
+    if classify:
+        codes_v, codes_i = sing_ops.classify(mesh, v, field)
+        codes_v = np.asarray(codes_v)
+        codes_i = np.asarray(codes_i)
+    points_per_frame = []
+    labels_per_frame = []
+    for k in range(v.shape[0]):
+        pts, kinds, ids = sing_ops.compact_frame(mesh, field, k)
+        points_per_frame.append(pts)
+        if classify:
+            lab = []
+            for kind, idx in zip(kinds, ids):
+                code = codes_v[k, idx] if kind == "vertex" else codes_i[k, idx]
+                lab.append(sing_ops.CLASS_NAMES[code])
+            labels_per_frame.append(lab)
+    if save_path is not None:
+        io.ensure_dir(save_path)
+        io.save_pickle(save_path, [list(p) for p in points_per_frame])
+    return points_per_frame, (labels_per_frame if classify else None)
+
+
+# ------------------------------------------------------------------- S4 ----
+def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
+                    npz_path=None):
+    """S4: spatiotemporal SVD (complex or concatenated-real form)."""
+    import jax.numpy as jnp
+
+    v = jnp.asarray(v_k)
+    if mode == "complex":
+        modes = svd_ops.decompose_complex(v, n_modes=config.analysis.n_modes)
+    elif mode == "concat":
+        modes = svd_ops.decompose_concat(v, n_modes=config.analysis.n_modes)
+    else:
+        raise ValueError(f"unknown SVD mode {mode!r}")
+    if npz_path is not None:
+        io.ensure_dir(npz_path)
+        np.savez(npz_path, U=np.asarray(modes.u),
+                 Sigma=np.asarray(modes.sigma), VT=np.asarray(modes.vt),
+                 point_num=v.shape[-1] // 2)
+    return modes
+
+
+# ------------------------------------------------------------------- S5 ----
+def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
+                    save_path=None) -> np.ndarray:
+    """S5: wave speeds from an amplitude or phase movie (T, N)."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(movie)
+    if method == "phase":
+        ws = wave_ops.wave_velocity_phase_mm_per_ms(mesh, m, dt)
+    elif method == "amplitude":
+        ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
+    else:
+        raise ValueError(f"unknown wavespeed method {method!r}")
+    ws = np.asarray(ws)
+    if save_path is not None:
+        io.ensure_dir(save_path)
+        io.save_pickle(save_path, ws)
+    return ws
+
+
+# ------------------------------------------------------------------- S6 ----
+def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
+                     frames=None, save_path_fmt=None):
+    """S6: per-frame streamline sets {frame: [polyline, ...]}."""
+    import jax.numpy as jnp
+
+    v = np.asarray(v_world)
+    frames = range(v.shape[0]) if frames is None else frames
+    out = {}
+    for k in frames:
+        sl = stream_ops.trace(mesh, jnp.asarray(v[k]),
+                              max_steps=config.analysis.max_streamline_steps)
+        lines = stream_ops.compact(
+            mesh, sl, min_length=config.analysis.min_streamline_length)
+        out[str(k)] = lines
+        if save_path_fmt is not None:
+            path = save_path_fmt.format(frame=k)
+            io.ensure_dir(path)
+            io.save_pickle(path, {str(k): lines})
+    return out
+
+
+# ------------------------------------------------------------------- S7 ----
+def winding_stage(mesh: TriMesh, v_world, singularity_points,
+                  config: PipelineConfig, save_path=None):
+    """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}."""
+    import jax.numpy as jnp
+
+    winding_lines = {}
+    for t, pts in enumerate(singularity_points):
+        if len(pts) == 0:
+            continue
+        cap = len(pts)
+        res = wind_ops.analyze_singularities(
+            mesh, jnp.asarray(np.asarray(v_world)[t]),
+            jnp.asarray(np.asarray(pts, dtype=np.asarray(v_world).dtype)),
+            jnp.ones(cap, dtype=bool),
+            max_level=config.analysis.max_winding_level)
+        counts = np.asarray(res.counts)
+        types = np.asarray(res.types)
+        rows = []
+        for i in range(cap):
+            if counts[i] == 0:
+                continue
+            rows.append([np.asarray(pts[i]), int(counts[i]), int(types[i])])
+        winding_lines[str(t)] = rows
+    if save_path is not None:
+        io.ensure_dir(save_path)
+        io.save_pickle(save_path, winding_lines)
+    return winding_lines
