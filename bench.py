@@ -38,21 +38,22 @@ def build_problem(dtype=np.float32):
     return mesh, pot, times
 
 
-def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=2e-6):
+def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=1e-8):
+    """Time the mixed-precision refined solve: f32 PCG inner iterations at
+    full MXU/VPU speed + a few f64 residual matvecs, converging to SuperLU-
+    level accuracy (solve.refine)."""
     import jax
     import jax.numpy as jnp
 
-    from manifold_flow_tpu.geometry.mesh import build_mesh
     from manifold_flow_tpu.solve.api import compute_velocity_fields
 
-    mesh = build_mesh(np.asarray(mesh64.points), np.asarray(mesh64.triangles),
-                      dtype=dtype)
-    potd = jnp.asarray(pot.astype(dtype))
-    timesd = jnp.asarray(times.astype(dtype))
+    mesh = mesh64
+    potd = jnp.asarray(pot)
+    timesd = jnp.asarray(times)
 
     def step(p, t):
         return compute_velocity_fields(
-            mesh, p, t, lambda_=0.01, method="cg", tol=tol,
+            mesh, p, t, lambda_=0.01, method="refined", tol=tol,
             max_iter=4000)
 
     jitted = jax.jit(lambda p, t: step(p, t).v_k)
@@ -97,6 +98,7 @@ def bench_cpu_baseline(mesh, pot, times, n_sample=6):
 def main():
     import jax
 
+    jax.config.update("jax_enable_x64", True)
     # Persistent compile cache: the remote TPU compile path has a large
     # cold-start cost; cache executables across bench runs.
     try:
@@ -108,7 +110,7 @@ def main():
     platform = jax.devices()[0].platform
     mesh, pot, times = build_problem()
 
-    dtype = np.float32 if platform != "cpu" else np.float64
+    dtype = np.float64  # refined path: f32 inner CG + f64 residual outer loop
     v_tpu, fps_tpu, res = bench_tpu(mesh, pot, times, dtype)
 
     n_sample = 6

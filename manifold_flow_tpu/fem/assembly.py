@@ -116,13 +116,17 @@ def diag_contributions(mesh: TriMesh, g: jnp.ndarray,
     Contribution of triangle m at corner c to the diagonal block of
     A = a1 + lambda a2:  lambda * (e_c^a . e_c^b)|grad_c|^2 A  +  g_c^a g_c^b A/6.
     Kept per-triangle so distributed solvers can shard the triangle axis and
-    scatter + psum locally (parallel.partition).
+    scatter + psum locally (parallel.partition). Computes in g's dtype (mesh
+    geometry is cast down if needed): preconditioner accuracy only affects
+    inner-iteration counts, so an f32 build avoids emulated-f64 assembly on
+    TPU even when the mesh is f64 (solve.refine).
     """
-    et = corner_bases(mesh)                                   # (M, 3, 2, 3)
+    et = corner_bases(mesh).astype(g.dtype)                   # (M, 3, 2, 3)
+    areas = mesh.areas.astype(g.dtype)
     ee = jnp.einsum("mcad,mcbd->mcab", et, et)                # (M, 3, 2, 2)
-    gg = jnp.sum(mesh.grad_w * mesh.grad_w, axis=-1)          # (M, 3)
-    reg = ee * (gg * mesh.areas[:, None])[:, :, None, None]   # (M, 3, 2, 2)
-    dat = jnp.einsum("tmca,tmcb->tmcab", g, g) * (mesh.areas / 6.0)[:, None, None, None]
+    gg = jnp.sum(mesh.grad_w * mesh.grad_w, axis=-1).astype(g.dtype)  # (M, 3)
+    reg = ee * (gg * areas[:, None])[:, :, None, None]        # (M, 3, 2, 2)
+    dat = jnp.einsum("tmca,tmcb->tmcab", g, g) * (areas / 6.0)[:, None, None, None]
     return lambda_ * reg[None] + dat                          # (T, M, 3, 2, 2)
 
 

@@ -41,9 +41,17 @@ class FlowOperator:
     g: jnp.ndarray
     w_scale: jnp.ndarray
     lambda_: jnp.ndarray
-    n_dof: int = dataclasses.field(metadata=dict(static=True))
+    # Gather-mode reduction table (N, C): flat index m*6 + slot*2 into the
+    # local-contribution array for each vertex's incident (cell, corner);
+    # padded entries point at an appended zero slot. Turns the scatter-add
+    # into a fixed-width gather + sum — much faster under TPU f64 emulation
+    # and the basis for compensated-precision reductions.
+    gather_base: jnp.ndarray | None = None
+    n_dof: int = dataclasses.field(default=0, metadata=dict(static=True))
     # When the triangle set is partitioned across a named mesh axis
     # (parallel.partition), local contributions are combined with a psum.
+    # Partitioned operators use scatter mode (gather tables index global
+    # triangle ids).
     axis_name: str | None = dataclasses.field(
         default=None, metadata=dict(static=True))
 
@@ -51,8 +59,8 @@ class FlowOperator:
     def n_frames(self) -> int:
         return self.g.shape[0]
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Apply A to x (T, 2N) -> (T, 2N)."""
+    def local_contributions(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-triangle local products y_loc (T, M, 6) of A x."""
         t = x.shape[0]
         m = self.dof.shape[0]
         xg = x[:, self.dof]                                  # (T, M, 6)
@@ -62,7 +70,19 @@ class FlowOperator:
         stot = jnp.sum(s, axis=-1, keepdims=True)            # (T, M, 1)
         w = self.w_scale[:, None] * (s + stot)               # (T, M, 3)
         y1 = self.g * w[..., None]                           # (T, M, 3, 2)
-        y_loc = self.lambda_ * y2 + y1.reshape(t, m, 6)
+        return self.lambda_ * y2 + y1.reshape(t, m, 6)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply A to x (T, 2N) -> (T, 2N)."""
+        t = x.shape[0]
+        y_loc = self.local_contributions(x)
+        if self.gather_base is not None and self.axis_name is None:
+            y_flat = jnp.concatenate(
+                [y_loc.reshape(t, -1),
+                 jnp.zeros((t, 2), dtype=y_loc.dtype)], axis=1)
+            c0 = jnp.take(y_flat, self.gather_base, axis=1)       # (T, N, C)
+            c1 = jnp.take(y_flat, self.gather_base + 1, axis=1)   # (T, N, C)
+            return jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
         out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
         out = out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
         if self.axis_name is not None:
@@ -78,12 +98,18 @@ def make_operator(mesh: TriMesh, potentials: jnp.ndarray,
     the factors are computed for potentials[:-1].
     """
     g = assembly.frame_factors(mesh, potentials[:-1])
+    m = mesh.triangles.shape[0]
+    pad = mesh.vertex_cells < 0
+    gather_base = jnp.where(
+        pad, m * 6,
+        mesh.vertex_cells * 6 + mesh.vertex_cell_slot * 2).astype(jnp.int32)
     return FlowOperator(
         dof=assembly.local_dof_indices(mesh),
         blocks2=assembly.a2_blocks(mesh).astype(g.dtype),
         g=g,
         w_scale=(mesh.areas / 12.0).astype(g.dtype),
         lambda_=jnp.asarray(lambda_, dtype=g.dtype),
+        gather_base=gather_base,
         n_dof=mesh.n_dof,
     )
 

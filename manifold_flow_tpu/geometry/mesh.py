@@ -43,6 +43,10 @@ class TriMesh:
       integrals       (M, 2)  float  [A/6, A/12] mass integrals
       vertex_neighbors (N, D) int32  1-ring vertex ids, PAD_INDEX padded
       vertex_cells     (N, C) int32  incident cell ids, PAD_INDEX padded
+      vertex_cell_slot (N, C) int32  corner slot (0..2) of the vertex within
+                                     each incident cell, PAD_INDEX padded —
+                                     turns FEM scatter-adds into fixed-width
+                                     gather+sum reductions (fem.operator)
       vertex_degree    (N,)   int32  valid entries in vertex_neighbors
       vertex_cell_count(N,)   int32  valid entries in vertex_cells
       boundary_vertex  (N,)   bool   vertex on mesh boundary
@@ -63,6 +67,7 @@ class TriMesh:
     integrals: jnp.ndarray
     vertex_neighbors: jnp.ndarray
     vertex_cells: jnp.ndarray
+    vertex_cell_slot: jnp.ndarray
     vertex_degree: jnp.ndarray
     vertex_cell_count: jnp.ndarray
     boundary_vertex: jnp.ndarray
@@ -83,20 +88,22 @@ class TriMesh:
 
 
 def _vertex_adjacency(n_vertices: int, triangles: np.ndarray):
-    """Vertex->vertex and vertex->cell incidence as padded int32 arrays."""
+    """Vertex->vertex and vertex->(cell, corner-slot) incidence, padded."""
     neigh = [set() for _ in range(n_vertices)]
     cells = [[] for _ in range(n_vertices)]
+    slots = [[] for _ in range(n_vertices)]
     for m, (a, b, c) in enumerate(triangles):
         neigh[a].update((b, c))
         neigh[b].update((a, c))
         neigh[c].update((a, b))
-        cells[a].append(m)
-        cells[b].append(m)
-        cells[c].append(m)
+        for slot, v in enumerate((a, b, c)):
+            cells[v].append(m)
+            slots[v].append(slot)
     max_deg = max((len(s) for s in neigh), default=1) or 1
     max_cells = max((len(s) for s in cells), default=1) or 1
     vn = np.full((n_vertices, max_deg), PAD_INDEX, dtype=np.int32)
     vc = np.full((n_vertices, max_cells), PAD_INDEX, dtype=np.int32)
+    vs = np.full((n_vertices, max_cells), PAD_INDEX, dtype=np.int32)
     deg = np.zeros(n_vertices, dtype=np.int32)
     ncell = np.zeros(n_vertices, dtype=np.int32)
     for i in range(n_vertices):
@@ -104,8 +111,9 @@ def _vertex_adjacency(n_vertices: int, triangles: np.ndarray):
         vn[i, : len(s)] = s
         deg[i] = len(s)
         vc[i, : len(cells[i])] = cells[i]
+        vs[i, : len(slots[i])] = slots[i]
         ncell[i] = len(cells[i])
-    return vn, vc, deg, ncell
+    return vn, vc, vs, deg, ncell
 
 
 def _edges_and_boundary(n_vertices: int, triangles: np.ndarray):
@@ -153,7 +161,7 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
     grad_w = hat_gradients(pts, tris)
     integrals = mass_integrals(areas)
 
-    vn, vc, deg, ncell = _vertex_adjacency(n_vertices, triangles)
+    vn, vc, vs, deg, ncell = _vertex_adjacency(n_vertices, triangles)
     edges, edge_cells, boundary = _edges_and_boundary(n_vertices, triangles)
 
     return TriMesh(
@@ -166,6 +174,7 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
         integrals=integrals,
         vertex_neighbors=jnp.asarray(vn),
         vertex_cells=jnp.asarray(vc),
+        vertex_cell_slot=jnp.asarray(vs),
         vertex_degree=jnp.asarray(deg),
         vertex_cell_count=jnp.asarray(ncell),
         boundary_vertex=jnp.asarray(boundary),

@@ -1,0 +1,315 @@
+"""Command-line driver for the pipeline stages.
+
+One CLI with subcommands replaces the reference's per-script positional-argv
+drivers (`python S3_... <subject> <run> <trial>`, S3:16-18; `python
+S2_interpolate.py <subfolder>`, S2:65; etc.). Every subcommand reads the
+typed PipelineConfig (which also accepts the reference's own config.yaml)
+and exchanges artifacts in the reference's file formats so individual stages
+interoperate with the original pipeline.
+
+    python -m manifold_flow_tpu.pipeline.cli flow --surface s.ply \
+        --potentials p.csv --sfreq 2048 --out-dir results/
+    python -m manifold_flow_tpu.pipeline.cli demo --out-dir /tmp/demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_config(args):
+    from manifold_flow_tpu.pipeline.config import PipelineConfig
+
+    if getattr(args, "config", None):
+        return PipelineConfig.from_yaml(args.config)
+    return PipelineConfig()
+
+
+def _add_common(p):
+    p.add_argument("--config", help="YAML config (accepts the reference's "
+                   "config.yaml layout)")
+    p.add_argument("--out-dir", default=".", help="artifact directory")
+
+
+def _load_movie(path):
+    from manifold_flow_tpu.utils import io
+
+    path = str(path)
+    if path.endswith(".csv"):
+        return io.load_indexed_csv(path)
+    if path.endswith(".npy"):
+        return np.load(path)
+    raise SystemExit(f"unsupported movie format: {path} (want .csv or .npy)")
+
+
+def cmd_preprocess(args):
+    from manifold_flow_tpu.pipeline import preprocess
+
+    cfg = _load_config(args)
+    done = preprocess.process_subject(args.subject_dir, args.out_dir,
+                                      cfg.preprocess, runs=args.runs)
+    print(json.dumps({"stage": "preprocess", "runs_done": done}))
+
+
+def cmd_reconstruct(args):
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    coords = io.load_grid_electrodes(args.electrodes, group=args.group)
+    out = Path(args.out_dir) / "reconstructed_surface.ply"
+    res = stages.reconstruct_stage(coords, cfg, save_path=out)
+    print(json.dumps({"stage": "reconstruct",
+                      "n_vertices": int(res.mesh.n_vertices),
+                      "n_triangles": int(res.mesh.n_triangles),
+                      "surface": str(out)}))
+
+
+def cmd_interpolate(args):
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    mesh = stages.load_surface(args.surface)
+    coords = io.load_grid_electrodes(args.electrodes, group=args.group,
+                                     exclude=args.exclude)
+    data = _load_movie(args.data)
+    suffix = "phases_data" if args.phases else "data"
+    out = Path(args.out_dir) / f"interpolation_{suffix}.csv"
+    movie = stages.interpolate_stage(mesh, coords, data, cfg,
+                                     sfreq=args.sfreq, phases=args.phases,
+                                     save_path=out)
+    print(json.dumps({"stage": "interpolate", "shape": list(movie.shape),
+                      "out": str(out)}))
+
+
+def cmd_flow(args):
+    """S3: velocity fields + singularity detection/classification."""
+    from manifold_flow_tpu.pipeline import stages
+
+    cfg = _load_config(args)
+    if args.tol:
+        cfg.solver.tol = args.tol
+    if args.method:
+        cfg.solver.method = args.method
+    mesh = stages.load_surface(args.surface)
+    movie = _load_movie(args.potentials)
+    if cfg.solver.time_steps and movie.shape[0] > cfg.solver.time_steps:
+        movie = movie[: cfg.solver.time_steps]
+    times = (np.arange(movie.shape[0]) / args.sfreq if args.sfreq
+             else np.arange(movie.shape[0], dtype=np.float64))
+
+    out = Path(args.out_dir)
+    t0 = time.perf_counter()
+    vel = stages.velocity_stage(
+        mesh, movie, times, cfg,
+        e_path=out / "e.csv", v_k_path=out / "V_k.csv",
+        speed_path=out / "wave_velocity_opticalflow.pkl.bz2")
+    solve_s = time.perf_counter() - t0
+    pts, labels = stages.singularity_stage(
+        mesh, vel.v_world, cfg, classify=args.classify,
+        save_path=out / "singularity_points.pkl")
+    print(json.dumps({
+        "stage": "flow", "frames": int(vel.v_k.shape[0]),
+        "n_dof": int(vel.v_k.shape[1]), "solve_seconds": round(solve_s, 3),
+        "iterations": vel.iterations, "converged": vel.converged,
+        "singularities_per_frame": [len(p) for p in pts],
+    }))
+
+
+def cmd_decompose(args):
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    v_k = io.load_indexed_csv(args.v_k)
+    modes = stages.decompose_stage(v_k, cfg, mode=args.mode,
+                                   npz_path=Path(args.out_dir) / "data_01.npz")
+    sigma = np.asarray(modes.sigma)
+    print(json.dumps({"stage": "decompose", "mode": args.mode,
+                      "energy_pct": list(np.round(
+                          100 * sigma**2 / (sigma**2).sum(), 3)[:8])}))
+
+
+def cmd_wavespeed(args):
+    from manifold_flow_tpu.pipeline import stages
+
+    _ = _load_config(args)
+    mesh = stages.load_surface(args.surface)
+    movie = _load_movie(args.movie)
+    out = (Path(args.out_dir)
+           / f"wave_velocity_{args.method}.pkl.bz2")
+    ws = stages.wavespeed_stage(mesh, movie, dt=1.0 / args.sfreq,
+                                method=args.method, save_path=out)
+    print(json.dumps({"stage": "wavespeed", "method": args.method,
+                      "shape": list(ws.shape), "out": str(out)}))
+
+
+def cmd_streamline(args):
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    mesh = stages.load_surface(args.surface)
+    e = io.load_e_csv(args.e)
+    v_k = io.load_indexed_csv(args.v_k)
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+    v_world = np.asarray(velocity_to_world(v_k, e))
+    frames = range(args.start, args.end if args.end >= 0 else v_world.shape[0])
+    fmt = str(Path(args.out_dir) / "t_velocityfields_streamlines_{frame}.pkl.bz2")
+    lines = stages.streamline_stage(mesh, v_world, cfg, frames=frames,
+                                    save_path_fmt=fmt)
+    print(json.dumps({"stage": "streamline",
+                      "lines_per_frame": {k: len(v) for k, v in lines.items()}}))
+
+
+def cmd_winding(args):
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    mesh = stages.load_surface(args.surface)
+    e = io.load_e_csv(args.e)
+    v_k = io.load_indexed_csv(args.v_k)
+    sing = io.load_pickle(args.singularities)
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+    v_world = np.asarray(velocity_to_world(v_k, e))
+    out = Path(args.out_dir) / "winding_lines.pkl.bz2"
+    lines = stages.winding_stage(mesh, v_world, sing, cfg, save_path=out)
+    print(json.dumps({"stage": "winding",
+                      "frames_with_lines": len(lines), "out": str(out)}))
+
+
+def cmd_demo(args):
+    """End-to-end on synthetic data: surface -> movie -> flow -> detection."""
+    from manifold_flow_tpu.geometry import synthetic
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+
+    cfg = _load_config(args)
+    cfg.solver.tol = 1e-8
+    mesh = synthetic.plane_patch(
+        nx=args.nx, ny=args.nx, lx=20.0, ly=20.0,
+        height=lambda x, y: 1.5 * np.sin(x / 4.0) * np.cos(y / 5.0))
+    pot, times, true_pts = synthetic.two_source_movie(
+        mesh, sources=((5.0, 5.0), (15.0, 15.0)), n_frames=args.frames)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    io.write_ply(out / "simulated_surface.ply", np.asarray(mesh.points),
+                 np.asarray(mesh.triangles))
+    vel = stages.velocity_stage(mesh, pot, times, cfg,
+                                e_path=out / "e.csv",
+                                v_k_path=out / "V_k.csv")
+    pts, _ = stages.singularity_stage(mesh, vel.v_world, cfg,
+                                      save_path=out / "singularity_points.pkl")
+    from manifold_flow_tpu.ops import validation
+
+    report = validation.score_all_frames(
+        mesh, pts, [true_pts] * len(pts),
+        threshold=cfg.analysis.threshold,
+        turning_point=len(pts) + 1)
+    print(json.dumps({
+        "stage": "demo", "frames": int(vel.v_k.shape[0]),
+        "converged": vel.converged,
+        "matched": report.matched, "missed": report.missed,
+        "spare": report.spare, "err_max": report.err_max,
+        "out_dir": str(out)}))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="manifold_flow_tpu",
+        description="TPU-native manifold optical-flow pipeline")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("preprocess", help="S0: BIDS iEEG -> epochs/evokeds")
+    _add_common(sp)
+    sp.add_argument("--subject-dir", required=True)
+    sp.add_argument("--runs", nargs="*", default=None)
+    sp.set_defaults(func=cmd_preprocess)
+
+    sp = sub.add_parser("reconstruct", help="S1: electrodes.tsv -> surface.ply")
+    _add_common(sp)
+    sp.add_argument("--electrodes", required=True)
+    sp.add_argument("--group", default="grid")
+    sp.set_defaults(func=cmd_reconstruct)
+
+    sp = sub.add_parser("interpolate", help="S2: electrode movie -> vertex movie")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--electrodes", required=True)
+    sp.add_argument("--data", required=True, help="(T, E) movie .csv/.npy")
+    sp.add_argument("--sfreq", type=float, default=None)
+    sp.add_argument("--phases", action="store_true")
+    sp.add_argument("--exclude", nargs="*", default=None,
+                    help="electrode names to drop (e.g. the stimulated pair, "
+                         "S2_interpolate.py:125-135)")
+    sp.add_argument("--group", default="grid")
+    sp.set_defaults(func=cmd_interpolate)
+
+    sp = sub.add_parser("flow", help="S3: velocity fields + singularities")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--potentials", required=True)
+    sp.add_argument("--sfreq", type=float, default=None)
+    sp.add_argument("--method", default=None,
+                    choices=[None, "cg", "cholesky", "refined"])
+    sp.add_argument("--tol", type=float, default=None)
+    sp.add_argument("--classify", action="store_true")
+    sp.set_defaults(func=cmd_flow)
+
+    sp = sub.add_parser("decompose", help="S4: spatiotemporal SVD")
+    _add_common(sp)
+    sp.add_argument("--v-k", required=True)
+    sp.add_argument("--mode", default="concat", choices=["concat", "complex"])
+    sp.set_defaults(func=cmd_decompose)
+
+    sp = sub.add_parser("wavespeed", help="S5: wave speeds from a movie")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--movie", required=True)
+    sp.add_argument("--sfreq", type=float, required=True)
+    sp.add_argument("--method", default="phase",
+                    choices=["phase", "amplitude"])
+    sp.set_defaults(func=cmd_wavespeed)
+
+    sp = sub.add_parser("streamline", help="S6: streamline extraction")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--e", required=True)
+    sp.add_argument("--v-k", required=True)
+    sp.add_argument("--start", type=int, default=0)
+    sp.add_argument("--end", type=int, default=-1)
+    sp.set_defaults(func=cmd_streamline)
+
+    sp = sub.add_parser("winding", help="S7: winding-line analysis")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--e", required=True)
+    sp.add_argument("--v-k", required=True)
+    sp.add_argument("--singularities", required=True)
+    sp.set_defaults(func=cmd_winding)
+
+    sp = sub.add_parser("demo", help="synthetic end-to-end run + validation")
+    _add_common(sp)
+    sp.add_argument("--nx", type=int, default=24)
+    sp.add_argument("--frames", type=int, default=12)
+    sp.set_defaults(func=cmd_demo)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,6 +88,16 @@ def compute_velocity_fields(
                        precise_dots=precise_dots)
         return VelocityResult(res.x, mesh.basis, res.iterations,
                               res.residual, res.converged)
+    if method == "refined":
+        from manifold_flow_tpu.solve.refine import solve_refined
+
+        if potentials.dtype != jnp.float64:
+            raise ValueError(
+                "method='refined' needs float64 potentials (enable x64 and "
+                f"pass float64 inputs); got {potentials.dtype}")
+        res = solve_refined(mesh, op, f, tol=tol, max_iter=max_iter)
+        return VelocityResult(res.x, mesh.basis, res.iterations,
+                              res.residual, res.converged)
     if method == "cholesky":
         x = solve_cholesky(mesh, op, f, refine_steps=refine_steps,
                            batch_size=batch_size)

@@ -163,6 +163,35 @@ def load_e_csv(path):
     return load_indexed_csv(path).reshape(-1, 2, 3)
 
 
+def load_grid_electrodes(path, group: str = "grid", names=None,
+                         exclude=None, with_names: bool = False):
+    """Electrode coordinates (E, 3) from a BIDS electrodes.tsv.
+
+    Keeps rows whose `group` column matches (S1_reconstruct_surface.py:53-68;
+    rows with 'n/a' coordinates are skipped). `names` restricts to an explicit
+    channel list; `exclude` drops channels (the stimulated pair is removed
+    before interpolation, S2_interpolate.py:125-135).
+    """
+    import pandas as pd
+
+    table = pd.read_csv(path, sep="\t")
+    if group is not None and "group" in table:
+        table = table[table["group"] == group]
+    if names is not None:
+        table = table[table["name"].isin(set(map(str, names)))]
+    if exclude is not None:
+        table = table[~table["name"].isin(set(map(str, exclude)))]
+    coords, kept = [], []
+    for _, row in table.iterrows():
+        vals = [row["x"], row["y"], row["z"]]
+        if any(str(v) == "n/a" for v in vals):
+            continue
+        coords.append([float(v) for v in vals])
+        kept.append(str(row["name"]))
+    coords = np.asarray(coords, dtype=np.float64)
+    return (coords, kept) if with_names else coords
+
+
 # -------------------------------------------------------------- pickles ----
 def save_pickle(path, obj, compress: bool | None = None):
     """Pickle, with bz2 compression for .bz2 paths (the reference's

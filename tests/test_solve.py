@@ -93,6 +93,31 @@ def test_cg_agrees_with_cholesky(curved_mesh, wave_movie):
                                rtol=1e-6, atol=1e-9)
 
 
+def test_refined_reaches_float64_accuracy(curved_mesh, wave_movie):
+    """Mixed-precision refinement (f32 inner PCG + f64 residuals) must land
+    at SuperLU-level accuracy — the TPU bench accuracy gate (solve.refine)."""
+    pot, times = wave_movie
+    want, _ = _oracle(curved_mesh, pot, times)
+    res = compute_velocity_fields(
+        curved_mesh, jnp.asarray(pot, jnp.float64),
+        jnp.asarray(times, jnp.float64), method="refined", tol=1e-9)
+    got = np.asarray(res.v_k)
+    scale = np.maximum(np.abs(want).max(), 1e-30)
+    rmse = np.sqrt(np.mean((got - want) ** 2)) / scale
+    # The adaptive outer loop exits at the requested tol (1e-9 relative
+    # residual), which bounds the normalized solution error near 1e-9.
+    assert rmse < 1e-8, f"refined normalized RMSE {rmse}"
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_refined_rejects_float32_inputs(curved_mesh, wave_movie):
+    pot, times = wave_movie
+    with pytest.raises(ValueError, match="float64"):
+        compute_velocity_fields(
+            curved_mesh, jnp.asarray(pot, jnp.float32),
+            jnp.asarray(times, jnp.float32), method="refined")
+
+
 def test_plane_wave_velocity_direction(curved_mesh):
     """On a traveling plane wave the recovered flow points along +k."""
     from manifold_flow_tpu.geometry import synthetic
