@@ -307,6 +307,19 @@ def build_parser():
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a site-level PJRT plugin registration
+    # would otherwise take precedence (e.g. a remotely tunneled TPU): the
+    # config flag wins over plugin auto-selection.
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     return args.func(args)
 

@@ -100,13 +100,26 @@ class PipelineConfig:
 
         with open(path, "r", encoding="utf-8") as f:
             raw = yaml.safe_load(f) or {}
+
+        def num(v):
+            # YAML 1.1 parses exponent literals without a dot ('1e-4') as
+            # strings; the reference's config.yaml uses that form.
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+            return v
+
         cfg = cls()
         gen = raw.pop("general", {}) or {}
         for key, attr in [("lambda_", "lambda_"), ("eps", "eps"),
                           ("time_steps", "time_steps"), ("method", "method"),
                           ("tol", "tol"), ("max_iter", "max_iter")]:
             if key in gen:
-                setattr(cfg.solver, attr, gen[key])
+                val = gen[key]
+                setattr(cfg.solver, attr,
+                        num(val) if key != "method" else val)
         if "processes_num" in gen:
             # Reference pool size; informational only on TPU.
             cfg.solver.n_frame_shards = None

@@ -79,15 +79,6 @@ def compute_velocity_fields(
             f"got {times.shape}")
     if potentials.shape[0] < 2:
         raise ValueError("need at least 2 frames to form a velocity field")
-    op = make_operator(mesh, potentials, lambda_)
-    f = build_rhs(mesh, op, potentials, times, potentials_next)
-
-    if method == "cg":
-        pre = block_jacobi_inverse(mesh, op.g, lambda_)
-        res = solve_cg(op, f, precond=pre, tol=tol, max_iter=max_iter,
-                       precise_dots=precise_dots)
-        return VelocityResult(res.x, mesh.basis, res.iterations,
-                              res.residual, res.converged)
     if method == "refined":
         from manifold_flow_tpu.solve.refine import solve_refined
 
@@ -95,7 +86,19 @@ def compute_velocity_fields(
             raise ValueError(
                 "method='refined' needs float64 potentials (enable x64 and "
                 f"pass float64 inputs); got {potentials.dtype}")
-        res = solve_refined(mesh, op, f, tol=tol, max_iter=max_iter)
+        res = solve_refined(mesh, potentials, times, lambda_=lambda_,
+                            tol=tol, max_iter=max_iter,
+                            potentials_next=potentials_next)
+        return VelocityResult(res.x, mesh.basis, res.iterations,
+                              res.residual, res.converged)
+
+    op = make_operator(mesh, potentials, lambda_)
+    f = build_rhs(mesh, op, potentials, times, potentials_next)
+
+    if method == "cg":
+        pre = block_jacobi_inverse(mesh, op.g, lambda_)
+        res = solve_cg(op, f, precond=pre, tol=tol, max_iter=max_iter,
+                       precise_dots=precise_dots)
         return VelocityResult(res.x, mesh.basis, res.iterations,
                               res.residual, res.converged)
     if method == "cholesky":

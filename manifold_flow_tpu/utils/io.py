@@ -184,7 +184,9 @@ def load_grid_electrodes(path, group: str = "grid", names=None,
     coords, kept = [], []
     for _, row in table.iterrows():
         vals = [row["x"], row["y"], row["z"]]
-        if any(str(v) == "n/a" for v in vals):
+        # BIDS marks missing coordinates 'n/a'; pandas may parse that as NaN.
+        if any(str(v) == "n/a" or (isinstance(v, float) and np.isnan(v))
+               for v in vals):
             continue
         coords.append([float(v) for v in vals])
         kept.append(str(row["name"]))

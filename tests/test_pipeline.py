@@ -1,0 +1,178 @@
+"""Pipeline stages, artifact IO roundtrips, CLI, and config interop."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from manifold_flow_tpu.geometry import synthetic
+from manifold_flow_tpu.pipeline import stages
+from manifold_flow_tpu.pipeline.config import PipelineConfig
+from manifold_flow_tpu.utils import io
+
+
+# ------------------------------------------------------------------ io ----
+def test_ply_roundtrip(tmp_path, small_mesh):
+    pts = np.asarray(small_mesh.points)
+    tris = np.asarray(small_mesh.triangles)
+    for binary in (True, False):
+        p = tmp_path / f"m_{binary}.ply"
+        io.write_ply(p, pts, tris, binary=binary)
+        pts2, tris2 = io.read_ply(p)
+        np.testing.assert_allclose(pts2, pts, atol=1e-6)
+        np.testing.assert_array_equal(tris2, tris)
+
+
+def test_indexed_csv_roundtrip(tmp_path):
+    data = np.random.default_rng(0).normal(size=(5, 7))
+    p = tmp_path / "d.csv"
+    io.save_indexed_csv(p, data)
+    # pandas reads it the way the reference does (index_col=0).
+    import pandas as pd
+
+    df = pd.read_csv(p, index_col=0)
+    np.testing.assert_allclose(df.values, data)
+    np.testing.assert_allclose(io.load_indexed_csv(p), data)
+
+
+def test_e_csv_roundtrip(tmp_path, small_mesh):
+    e = np.asarray(small_mesh.basis)
+    p = tmp_path / "e.csv"
+    io.save_e_csv(p, e)
+    np.testing.assert_allclose(io.load_e_csv(p), e)
+
+
+def test_pickle_bz2_roundtrip(tmp_path):
+    obj = {"0": [np.arange(3), np.arange(2)]}
+    for name in ("x.pkl", "x.pkl.bz2"):
+        p = tmp_path / name
+        io.save_pickle(p, obj)
+        back = io.load_pickle(p)
+        assert list(back) == ["0"]
+        np.testing.assert_array_equal(back["0"][0], obj["0"][0])
+
+
+def test_load_grid_electrodes(tmp_path):
+    tsv = tmp_path / "electrodes.tsv"
+    tsv.write_text(
+        "name\tx\ty\tz\tgroup\n"
+        "G1\t0.0\t0.0\t1.0\tgrid\n"
+        "G2\t1.0\t0.0\t1.0\tgrid\n"
+        "S1\t5.0\t5.0\t5.0\tstrip\n"
+        "G3\tn/a\tn/a\tn/a\tgrid\n")
+    coords = io.load_grid_electrodes(tsv)
+    assert coords.shape == (2, 3)
+    coords, names = io.load_grid_electrodes(tsv, exclude=["G2"],
+                                            with_names=True)
+    assert names == ["G1"]
+
+
+# -------------------------------------------------------------- config ----
+def test_config_reads_reference_yaml(tmp_path):
+    y = tmp_path / "config.yaml"
+    y.write_text(
+        "general:\n  lambda_: 0.02\n  eps: 1e-3\n  time_steps: 50\n"
+        "  processes_num: 32\n"
+        "sub_01:\n  surface_path: /a/s.ply\n  threshold: 7.5\n")
+    cfg = PipelineConfig.from_yaml(y)
+    assert cfg.solver.lambda_ == 0.02
+    assert cfg.solver.eps == 1e-3
+    assert cfg.solver.time_steps == 50
+    assert cfg.subjects["sub_01"].surface_path == "/a/s.ply"
+    assert cfg.analysis.threshold == 7.5
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = PipelineConfig()
+    cfg.solver.lambda_ = 0.5
+    path = tmp_path / "out.yaml"
+    cfg.to_yaml(path)
+    cfg2 = PipelineConfig.from_yaml(path)
+    assert cfg2.solver.lambda_ == 0.5
+
+
+# -------------------------------------------------------------- stages ----
+@pytest.fixture(scope="module")
+def demo_problem():
+    mesh = synthetic.plane_patch(
+        nx=14, ny=14, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.4 * np.sin(x) * np.cos(y))
+    pot, times, truth = synthetic.two_source_movie(
+        mesh, sources=((2.0, 2.0), (6.0, 6.0)), n_frames=6)
+    return mesh, pot, times, truth
+
+
+def test_velocity_stage_artifacts(tmp_path, demo_problem):
+    mesh, pot, times, _ = demo_problem
+    cfg = PipelineConfig()
+    cfg.solver.tol = 1e-8
+    res = stages.velocity_stage(
+        mesh, pot, times, cfg,
+        e_path=tmp_path / "e.csv", v_k_path=tmp_path / "V_k.csv",
+        speed_path=tmp_path / "speed.pkl.bz2")
+    assert res.converged
+    assert res.v_k.shape == (pot.shape[0] - 1, mesh.n_dof)
+    # Artifacts reload to the same values (the reference's file contract).
+    np.testing.assert_allclose(io.load_e_csv(tmp_path / "e.csv"), res.e)
+    np.testing.assert_allclose(
+        io.load_indexed_csv(tmp_path / "V_k.csv"), res.v_k, atol=1e-12)
+    speed = io.load_pickle(tmp_path / "speed.pkl.bz2")
+    np.testing.assert_allclose(speed, res.speed, atol=1e-12)
+    # Speed is the norm of the recombined world field (S3:127-137).
+    np.testing.assert_allclose(
+        speed, np.linalg.norm(res.v_world, axis=-1), atol=1e-10)
+
+
+def test_singularity_stage(tmp_path, demo_problem):
+    mesh, pot, times, _ = demo_problem
+    cfg = PipelineConfig()
+    vel = stages.velocity_stage(mesh, pot, times, cfg)
+    pts, labels = stages.singularity_stage(
+        mesh, vel.v_world, cfg, classify=True,
+        save_path=tmp_path / "sing.pkl")
+    assert len(pts) == vel.v_k.shape[0]
+    assert labels is not None and len(labels) == len(pts)
+    saved = io.load_pickle(tmp_path / "sing.pkl")
+    assert len(saved) == len(pts)
+
+
+def test_decompose_stage(tmp_path, demo_problem):
+    mesh, pot, times, _ = demo_problem
+    cfg = PipelineConfig()
+    vel = stages.velocity_stage(mesh, pot, times, cfg)
+    modes = stages.decompose_stage(vel.v_k, cfg, mode="concat",
+                                   npz_path=tmp_path / "data_01.npz")
+    z = np.load(tmp_path / "data_01.npz")
+    assert set(z.files) == {"U", "Sigma", "VT", "point_num"}
+    assert int(z["point_num"]) == mesh.n_vertices
+    assert np.all(np.diff(np.asarray(modes.sigma)) <= 1e-12)
+
+
+def test_wavespeed_stage(demo_problem):
+    mesh, pot, times, _ = demo_problem
+    ws = stages.wavespeed_stage(mesh, pot, dt=float(times[1] - times[0]),
+                                method="amplitude")
+    assert ws.shape == (pot.shape[0], mesh.n_vertices)
+    assert np.all(np.isfinite(ws))
+
+
+# ----------------------------------------------------------------- cli ----
+def test_cli_demo_end_to_end(tmp_path):
+    """The demo subcommand runs the full flow on CPU and prints stats JSON."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    env.update({k: v for k, v in os.environ.items()
+                if k not in env and k != "JAX_PLATFORMS"})
+    out = subprocess.run(
+        [sys.executable, "-m", "manifold_flow_tpu.pipeline.cli", "demo",
+         "--nx", "10", "--frames", "4", "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["stage"] == "demo"
+    assert stats["converged"] is True
+    assert (tmp_path / "V_k.csv").exists()
+    assert (tmp_path / "singularity_points.pkl").exists()
