@@ -161,8 +161,18 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
     grad_w = hat_gradients(pts, tris)
     integrals = mass_integrals(areas)
 
-    vn, vc, vs, deg, ncell = _vertex_adjacency(n_vertices, triangles)
-    edges, edge_cells, boundary = _edges_and_boundary(n_vertices, triangles)
+    from manifold_flow_tpu import native
+
+    topo = native.build_topology(n_vertices, triangles)
+    if topo is not None:
+        vn, vc, vs = (topo.vertex_neighbors, topo.vertex_cells,
+                      topo.vertex_cell_slot)
+        deg, ncell = topo.vertex_degree, topo.vertex_cell_count
+        edges, edge_cells = topo.edges, topo.edge_cells
+        boundary = topo.boundary_vertex
+    else:  # pure-Python fallback (no C++ toolchain)
+        vn, vc, vs, deg, ncell = _vertex_adjacency(n_vertices, triangles)
+        edges, edge_cells, boundary = _edges_and_boundary(n_vertices, triangles)
 
     return TriMesh(
         points=pts,
