@@ -18,7 +18,17 @@ SVD, wave speeds, streamlines, winding numbers) — all designed TPU-first:
 * `jax.sharding` device-mesh parallelism over ('frames', 'mesh') axes.
 """
 
-from manifold_flow_tpu import geometry, fem, solve, ops, parallel, pipeline
+from manifold_flow_tpu import (
+    fem,
+    geometry,
+    kernels,
+    ops,
+    parallel,
+    pipeline,
+    solve,
+    utils,
+    viz,
+)
 from manifold_flow_tpu.geometry.mesh import TriMesh
 from manifold_flow_tpu.solve.api import compute_velocity_fields
 
@@ -27,10 +37,13 @@ __version__ = "0.1.0"
 __all__ = [
     "TriMesh",
     "compute_velocity_fields",
-    "geometry",
     "fem",
-    "solve",
+    "geometry",
+    "kernels",
     "ops",
     "parallel",
     "pipeline",
+    "solve",
+    "utils",
+    "viz",
 ]

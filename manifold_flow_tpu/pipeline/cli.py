@@ -313,13 +313,19 @@ def main(argv=None):
     import os
 
     platforms = os.environ.get("JAX_PLATFORMS")
-    if platforms:
-        import jax
+    import jax
 
+    if platforms:
         try:
             jax.config.update("jax_platforms", platforms)
         except Exception:
             pass
+    # x64 inputs enable the mixed-precision 'refined'/'auto' solver path and
+    # keep artifact parity with the reference's float64 files.
+    try:
+        jax.config.update("jax_enable_x64", True)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     return args.func(args)
 

@@ -19,7 +19,7 @@ class SolverConfig:
     lambda_: float = 0.01          # config.yaml:3
     eps: float = 1e-4              # config.yaml:4
     time_steps: int = 98           # config.yaml:5
-    method: str = "cg"             # 'cg' | 'cholesky'
+    method: str = "auto"           # 'auto' | 'cg' | 'cholesky' | 'refined'
     tol: float = 1e-8
     max_iter: int = 2000
     # the reference's processes_num (config.yaml:6) maps to device counts:

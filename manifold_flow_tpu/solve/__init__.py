@@ -7,11 +7,16 @@ TPU-native paths:
   * `cg`       — batched matrix-free preconditioned conjugate gradients over
                  all frames simultaneously (block-Jacobi 2x2 preconditioner);
   * `cholesky` — batched dense Cholesky with mixed-precision iterative
-                 refinement (small meshes; exact to working precision).
+                 refinement (small meshes; exact to working precision);
+  * `refined`  — f32 inner PCG + two-float32 compensated residuals
+                 (solve.refine): direct-solver accuracy at f32 speed on
+                 hardware with no float64 units.
 """
 
 from manifold_flow_tpu.solve.api import compute_velocity_fields
 from manifold_flow_tpu.solve.cg import solve_cg
 from manifold_flow_tpu.solve.cholesky import solve_cholesky
+from manifold_flow_tpu.solve.refine import solve_refined
 
-__all__ = ["compute_velocity_fields", "solve_cg", "solve_cholesky"]
+__all__ = ["compute_velocity_fields", "solve_cg", "solve_cholesky",
+           "solve_refined"]

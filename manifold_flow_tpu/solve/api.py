@@ -64,8 +64,11 @@ def compute_velocity_fields(
       potentials: (T, N) scalar field movie (interpolated potentials/phases).
       times: (T,) frame times in seconds (the reference's t_k, S3:86-89).
       lambda_: regularization weight (config.yaml:3, default 0.01).
-      method: 'cg' (batched matrix-free PCG) or 'cholesky' (batched dense
-        direct solve with iterative refinement).
+      method: 'cg' (batched matrix-free PCG), 'cholesky' (batched dense
+        direct solve with iterative refinement), 'refined' (f32 inner PCG +
+        two-float32 residuals; needs float64 inputs), or 'auto' (refined on
+        accelerators with f64 inputs — direct-solver accuracy without native
+        f64 units — else cg).
     """
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
@@ -79,6 +82,12 @@ def compute_velocity_fields(
             f"got {times.shape}")
     if potentials.shape[0] < 2:
         raise ValueError("need at least 2 frames to form a velocity field")
+    if method == "auto":
+        import jax
+
+        on_accelerator = jax.devices()[0].platform != "cpu"
+        method = ("refined" if on_accelerator
+                  and potentials.dtype == jnp.float64 else "cg")
     if method == "refined":
         from manifold_flow_tpu.solve.refine import solve_refined
 
