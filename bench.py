@@ -38,7 +38,9 @@ def build_problem(dtype=np.float32):
     return mesh, pot, times
 
 
-def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=1e-8):
+def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=1e-6):
+    # tol 1e-6 on the outer residual puts the solution RMSE ~1e-6 vs SuperLU
+    # (reported below), an order of magnitude below the 1e-5 parity gate.
     """Time the mixed-precision refined solve: f32 PCG inner iterations at
     full MXU/VPU speed + a few f64 residual matvecs, converging to SuperLU-
     level accuracy (solve.refine)."""

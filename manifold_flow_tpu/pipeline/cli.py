@@ -326,6 +326,15 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     except Exception:
         pass
+    # Persistent compile cache: solver jits are expensive to build; reuse
+    # executables across CLI invocations.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("MFLOW_JAX_CACHE",
+                                         "/tmp/mflow_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     return args.func(args)
 

@@ -83,9 +83,17 @@ def reconstruct_stage(electrode_coords, config: PipelineConfig,
     return ReconstructionResult(build_mesh(pts, tris), pts, tris)
 
 
-def load_surface(path) -> TriMesh:
-    """Load a (reference-produced or own) PLY surface into a TriMesh."""
+def load_surface(path, cache_dir=None) -> TriMesh:
+    """Load a (reference-produced or own) PLY surface into a TriMesh.
+
+    `cache_dir` enables the geometry-precompute cache keyed by mesh content
+    (utils.cache) — the realized version of the reference's commented-out
+    processed_surface_path (config.yaml:18,27)."""
     pts, tris = io.read_ply(path)
+    if cache_dir is not None:
+        from manifold_flow_tpu.utils.cache import build_mesh_cached
+
+        return build_mesh_cached(pts, tris, cache_dir=cache_dir)
     return build_mesh(pts, tris)
 
 

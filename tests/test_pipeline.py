@@ -158,6 +158,25 @@ def test_wavespeed_stage(demo_problem):
     assert np.all(np.isfinite(ws))
 
 
+def test_mesh_cache_roundtrip(tmp_path, small_mesh):
+    from manifold_flow_tpu.utils import cache
+
+    pts = np.asarray(small_mesh.points)
+    tris = np.asarray(small_mesh.triangles)
+    m1 = cache.build_mesh_cached(pts, tris, cache_dir=tmp_path)
+    files = list(tmp_path.glob("mesh_*.npz"))
+    assert len(files) == 1
+    m2 = cache.build_mesh_cached(pts, tris, cache_dir=tmp_path)  # cache hit
+    assert len(list(tmp_path.glob("mesh_*.npz"))) == 1
+    np.testing.assert_allclose(np.asarray(m2.basis), np.asarray(m1.basis))
+    np.testing.assert_array_equal(np.asarray(m2.vertex_cells),
+                                  np.asarray(m1.vertex_cells))
+    assert m2.n_vertices == m1.n_vertices
+    # Different mesh -> different key.
+    cache.build_mesh_cached(pts * 2.0, tris, cache_dir=tmp_path)
+    assert len(list(tmp_path.glob("mesh_*.npz"))) == 2
+
+
 # ----------------------------------------------------------------- cli ----
 def test_cli_demo_end_to_end(tmp_path):
     """The demo subcommand runs the full flow on CPU and prints stats JSON."""
