@@ -65,14 +65,29 @@ def sharded_compute_velocity_fields(
     lambda_: float = 0.01,
     tol: float = 1e-10,
     max_iter: int = 2000,
+    method: str = "cg",
 ) -> VelocityResult:
-    """Distributed equivalent of solve.api.compute_velocity_fields (CG path).
+    """Distributed equivalent of solve.api.compute_velocity_fields.
+
+    method='cg' shards over both axes: frames are data-parallel, triangles
+    partition over 'mesh' with one psum per matvec. method='refined' (f32
+    inner PCG + two-float32 residuals, f64-grade accuracy) shards over
+    'frames' only — frames are independent systems, so the refined solve
+    runs unchanged per shard with zero communication; it requires
+    n_mesh_shards == 1 because compensated pair sums do not distribute over
+    a psum.
 
     Frames pad to the 'frames' axis size (zero RHS rows converge instantly)
     and triangles pad to the 'mesh' axis size (zero-block triangles whose
     scatter targets DOF 0 contribute nothing); padding is stripped from the
     result.
     """
+    if method == "refined":
+        return _sharded_refined(mesh, potentials, times, device_mesh,
+                                lambda_=lambda_, tol=tol, max_iter=max_iter)
+    if method != "cg":
+        raise ValueError(f"unknown sharded method {method!r} "
+                         "(want 'cg' or 'refined')")
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
     nf = device_mesh.shape["frames"]
@@ -125,6 +140,54 @@ def sharded_compute_velocity_fields(
     )
     x, iters, resid, conv = jax.jit(shard)(
         dof, tris, blocks2, w_scale, g, contrib, f)
+    return VelocityResult(
+        v_k=x[:t], e=mesh.basis,
+        iterations=jnp.max(iters), residual=resid[:t], converged=conv[:t])
+
+
+def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
+                     max_iter):
+    """Frame-sharded two-float32 refined solve (f64-grade accuracy).
+
+    Assembly is replicated (cheap relative to the solve); each frame shard
+    runs its own refinement loop to convergence with zero communication —
+    the scaling structure of the reference's frame pool, at direct-solver
+    accuracy."""
+    from manifold_flow_tpu.fem.df_operator import DFFlowOperator, make_df_operator
+    from manifold_flow_tpu.kernels.df32 import DF
+    from manifold_flow_tpu.solve.refine import refine_loop
+
+    if device_mesh.shape["mesh"] != 1:
+        raise ValueError(
+            "method='refined' shards frames only (compensated pair sums do "
+            "not distribute over a psum); use n_mesh_shards=1")
+    potentials = jnp.asarray(potentials)
+    times = jnp.asarray(times, dtype=potentials.dtype)
+    nf = device_mesh.shape["frames"]
+    op_df, f_df = make_df_operator(mesh, potentials, times, lambda_)
+    t = f_df.hi.shape[0]
+
+    g_hi = _pad_axis(op_df.g.hi, 0, nf)
+    g_lo = _pad_axis(op_df.g.lo, 0, nf)
+    f_hi = _pad_axis(f_df.hi, 0, nf)
+    f_lo = _pad_axis(f_df.lo, 0, nf)
+
+    def local_solve(gh, gl, fh, fl):
+        op_l = DFFlowOperator(
+            dof=op_df.dof, gather_base=op_df.gather_base,
+            blocks2=op_df.blocks2, g=DF(gh, gl), w_scale=op_df.w_scale,
+            lambda_=op_df.lambda_, n_dof=op_df.n_dof)
+        res = refine_loop(mesh, op_l, DF(fh, fl), tol=tol,
+                          max_iter=max_iter)
+        return res.x, res.iterations[None], res.residual, res.converged
+
+    spec = P("frames")
+    shard = jax.shard_map(
+        local_solve, mesh=device_mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+    x, iters, resid, conv = jax.jit(shard)(g_hi, g_lo, f_hi, f_lo)
     return VelocityResult(
         v_k=x[:t], e=mesh.basis,
         iterations=jnp.max(iters), residual=resid[:t], converged=conv[:t])

@@ -158,7 +158,9 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         res = sharded_compute_velocity_fields(
             mesh, jnp.asarray(potentials), jnp.asarray(times), device_mesh,
             lambda_=config.solver.lambda_, tol=config.solver.tol,
-            max_iter=config.solver.max_iter)
+            max_iter=config.solver.max_iter,
+            method=("refined" if config.solver.method == "refined"
+                    else "cg"))
     else:
         res = compute_velocity_fields(
             mesh, jnp.asarray(potentials), jnp.asarray(times),

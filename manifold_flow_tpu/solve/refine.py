@@ -63,7 +63,18 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
             f"{potentials.dtype}")
     op_df, f_df = make_df_operator(mesh, potentials, times, lambda_,
                                    potentials_next=potentials_next)
+    return refine_loop(mesh, op_df, f_df, tol=tol, inner_tol=inner_tol,
+                       max_iter=max_iter, refine_steps=refine_steps)
 
+
+def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
+                inner_tol: float = 1e-5, max_iter: int = 2000,
+                refine_steps: int = 8) -> RefineResult:
+    """The refinement iteration given a prebuilt DF operator + RHS.
+
+    Factored out so parallel.partition can run it inside a shard_map with
+    the frame axis sharded (frames are independent systems — each shard
+    iterates until its own frames converge)."""
     # Float32 operator + block-Jacobi preconditioner for the inner solves:
     # the hi components ARE the rounded-to-f32 operator.
     op32 = FlowOperator(

@@ -48,6 +48,27 @@ def test_frames_x_mesh_sharding(problem):
     _run(problem, 4, 2)
 
 
+def test_refined_frames_sharding(problem):
+    """Frame-sharded two-float32 refined solve hits f64-grade accuracy."""
+    mesh, pot, times, want = problem
+    dm = make_device_mesh(8, 1)
+    res = sharded_compute_velocity_fields(
+        mesh, jnp.asarray(pot, jnp.float64), jnp.asarray(times, jnp.float64),
+        dm, tol=1e-9, method="refined")
+    assert bool(np.all(np.asarray(res.converged)))
+    scale = np.abs(want).max()
+    rmse = np.sqrt(np.mean((np.asarray(res.v_k) - want) ** 2)) / scale
+    assert rmse < 1e-7, rmse
+
+
+def test_refined_rejects_mesh_axis(problem):
+    mesh, pot, times, _ = problem
+    dm = make_device_mesh(4, 2)
+    with pytest.raises(ValueError, match="frames only"):
+        sharded_compute_velocity_fields(
+            mesh, jnp.asarray(pot), jnp.asarray(times), dm, method="refined")
+
+
 def test_uneven_frames_padding(problem):
     # 6 solve-frames over 4-way frame sharding forces padding.
     mesh, pot, times, want = problem
