@@ -136,12 +136,28 @@ def _edges_and_boundary(n_vertices: int, triangles: np.ndarray):
     return edges, edge_cells, boundary
 
 
+def _precompute_quantities(pts, tris, nrm, n_vertices: int):
+    """All per-mesh FEM quantities in one traceable function."""
+    if nrm is None:
+        nrm = vertex_normals_from_cells(pts, tris, n_vertices)
+    areas = triangle_areas(pts, tris)
+    basis = tangent_basis(nrm)
+    grad_w = hat_gradients(pts, tris)
+    integrals = mass_integrals(areas)
+    return nrm, areas, basis, grad_w, integrals
+
+
 def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
     """Construct a TriMesh from raw arrays (host-side, runs once per surface).
 
     `normals` defaults to cell-normal-averaged vertex normals (the quantity
     the reference takes from `surface.point_normals`,
     utils/compute_optical_flow.py:349).
+
+    The precompute runs as ONE jitted program on the CPU backend: dispatching
+    it op-by-op on a remote accelerator would pay per-op compile + transfer
+    latency for a strictly host-side, once-per-surface step. Results land on
+    the default device afterwards.
     """
     points = np.asarray(points)
     if dtype is not None:
@@ -150,16 +166,24 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
     n_vertices = int(points.shape[0])
     n_triangles = int(triangles.shape[0])
 
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # exotic configs without a CPU backend
+        cpu = None
+    nrm_in = (None if normals is None
+              else np.asarray(normals, dtype=points.dtype))
+    compute = jax.jit(_precompute_quantities,
+                      static_argnames=("n_vertices",))
+    if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+            out = compute(points, triangles, nrm_in, n_vertices)
+        nrm, areas, basis, grad_w, integrals = (
+            jnp.asarray(np.asarray(a)) for a in out)
+    else:
+        nrm, areas, basis, grad_w, integrals = compute(
+            points, triangles, nrm_in, n_vertices)
     pts = jnp.asarray(points)
     tris = jnp.asarray(triangles)
-    if normals is None:
-        nrm = vertex_normals_from_cells(pts, tris, n_vertices)
-    else:
-        nrm = jnp.asarray(np.asarray(normals, dtype=points.dtype))
-    areas = triangle_areas(pts, tris)
-    basis = tangent_basis(nrm)
-    grad_w = hat_gradients(pts, tris)
-    integrals = mass_integrals(areas)
 
     from manifold_flow_tpu import native
 

@@ -109,6 +109,31 @@ def _count_and_type(w: jnp.ndarray):
     return count.astype(jnp.int32), typ.astype(jnp.int32)
 
 
+def scale_map(mesh: TriMesh, singularity_points, counts) -> jnp.ndarray:
+    """Per-vertex winding-line 'scale' field for visualization (N,).
+
+    Reference calculate_scale_values (S7_winding_line.py:167-183): the
+    snapped center vertex of singularity i gets counts[i] + 1; its k-th
+    neighbor ring (k = 1..counts[i]) gets counts[i] - (k - 1). Later
+    singularities overwrite earlier ones on overlap, as in the reference's
+    sequential assignment.
+    """
+    pts = jnp.asarray(singularity_points)
+    centers = topology.closest_vertex(mesh.points, pts)
+    scale = jnp.zeros((mesh.n_vertices,), dtype=jnp.float32)
+    counts = jnp.asarray(counts)
+    max_count = int(jnp.max(counts)) if counts.size else 0
+    for i in range(pts.shape[0]):
+        c = counts[i]
+        levels = topology.bfs_levels(mesh.vertex_neighbors, centers[i],
+                                     max(max_count, 1))
+        ring = jnp.where((levels >= 1) & (levels <= c),
+                         (c - (levels - 1)).astype(jnp.float32), 0.0)
+        scale = jnp.where(ring > 0, ring, scale)
+        scale = scale.at[centers[i]].set((c + 1).astype(jnp.float32))
+    return scale
+
+
 @partial(jax.jit, static_argnames=("max_level",))
 def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
                           points: jnp.ndarray, valid: jnp.ndarray,

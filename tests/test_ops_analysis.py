@@ -260,3 +260,17 @@ def test_speed_map(source_setup):
     sp = np.asarray(world_speed(jnp.asarray(v3)))
     assert sp.shape == v3.shape[:2]
     np.testing.assert_allclose(sp[0, 0], np.linalg.norm(v3[0, 0]))
+
+
+def test_winding_scale_map(small_mesh):
+    """calculate_scale_values parity (S7:167-183): center = count+1, ring k
+    = count-(k-1), later singularities overwrite."""
+    import numpy as np
+    from manifold_flow_tpu.ops import winding
+
+    pts = np.asarray(small_mesh.points)[[40, 90]]
+    s = np.asarray(winding.scale_map(small_mesh, pts, np.array([2, 1])))
+    assert s[40] == 3.0 and s[90] == 2.0
+    ring1 = np.asarray(small_mesh.vertex_neighbors[40])
+    ring1 = ring1[ring1 >= 0]
+    assert np.all(s[ring1] >= 1.0)

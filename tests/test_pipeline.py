@@ -188,7 +188,7 @@ def test_cli_demo_end_to_end(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "manifold_flow_tpu.pipeline.cli", "demo",
          "--nx", "10", "--frames", "4", "--out-dir", str(tmp_path)],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=1500, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["stage"] == "demo"
