@@ -66,6 +66,7 @@ def sharded_compute_velocity_fields(
     tol: float = 1e-10,
     max_iter: int = 2000,
     method: str = "cg",
+    precond: str = "auto",
 ) -> VelocityResult:
     """Distributed equivalent of solve.api.compute_velocity_fields.
 
@@ -84,7 +85,8 @@ def sharded_compute_velocity_fields(
     """
     if method == "refined":
         return _sharded_refined(mesh, potentials, times, device_mesh,
-                                lambda_=lambda_, tol=tol, max_iter=max_iter)
+                                lambda_=lambda_, tol=tol, max_iter=max_iter,
+                                precond=precond)
     if method != "cg":
         raise ValueError(f"unknown sharded method {method!r} "
                          "(want 'cg' or 'refined')")
@@ -146,7 +148,7 @@ def sharded_compute_velocity_fields(
 
 
 def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
-                     max_iter):
+                     max_iter, precond: str = "auto"):
     """Frame-sharded two-float32 refined solve (f64-grade accuracy).
 
     Assembly is replicated (cheap relative to the solve); each frame shard
@@ -167,6 +169,17 @@ def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
     op_df, f_df = make_df_operator(mesh, potentials, times, lambda_)
     t = f_df.hi.shape[0]
 
+    tables = None
+    if precond != "jacobi":
+        from manifold_flow_tpu.solve import coarse
+
+        try:
+            tables = coarse.build_tables(mesh)
+        except Exception:
+            if precond == "two_level":
+                raise
+            tables = None  # traced topology: fall back to block-Jacobi
+
     g_hi = _pad_axis(op_df.g.hi, 0, nf)
     g_lo = _pad_axis(op_df.g.lo, 0, nf)
     f_hi = _pad_axis(f_df.hi, 0, nf)
@@ -178,7 +191,7 @@ def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
             blocks2=op_df.blocks2, g=DF(gh, gl), w_scale=op_df.w_scale,
             lambda_=op_df.lambda_, n_dof=op_df.n_dof)
         res = refine_loop(mesh, op_l, DF(fh, fl), tol=tol,
-                          max_iter=max_iter)
+                          max_iter=max_iter, coarse_tables=tables)
         return res.x, res.iterations[None], res.residual, res.converged
 
     spec = P("frames")

@@ -56,6 +56,8 @@ def compute_velocity_fields(
     refine_steps: int = 2,
     batch_size: int = 4,
     potentials_next: jnp.ndarray | None = None,
+    precond: str = "auto",
+    coarse_passes: int = 2,
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
 
@@ -69,6 +71,12 @@ def compute_velocity_fields(
         two-float32 residuals; needs float64 inputs), or 'auto' (refined on
         accelerators with f64 inputs — direct-solver accuracy without native
         f64 units — else cg).
+      precond: 'two_level' (block-Jacobi + aggregation coarse correction,
+        solve.coarse), 'jacobi', or 'auto' (two_level when the mesh topology
+        is concrete — it falls back to jacobi if the mesh is being traced,
+        since aggregation is a host-side precompute).
+      coarse_passes: greedy-aggregation passes for the coarse space (~5-7x
+        coarsening per pass).
     """
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
@@ -88,6 +96,20 @@ def compute_velocity_fields(
         on_accelerator = jax.devices()[0].platform != "cpu"
         method = ("refined" if on_accelerator
                   and potentials.dtype == jnp.float64 else "cg")
+
+    tables = None
+    if precond not in ("jacobi", "two_level", "auto"):
+        raise ValueError(f"unknown precond: {precond!r}")
+    if precond != "jacobi" and method in ("refined", "cg"):
+        from manifold_flow_tpu.solve import coarse
+
+        try:
+            tables = coarse.build_tables(mesh, passes=coarse_passes)
+        except Exception:
+            if precond == "two_level":
+                raise
+            tables = None  # traced mesh: aggregation needs concrete topology
+
     if method == "refined":
         from manifold_flow_tpu.solve.refine import solve_refined
 
@@ -97,7 +119,8 @@ def compute_velocity_fields(
                 f"pass float64 inputs); got {potentials.dtype}")
         res = solve_refined(mesh, potentials, times, lambda_=lambda_,
                             tol=tol, max_iter=max_iter,
-                            potentials_next=potentials_next)
+                            potentials_next=potentials_next,
+                            coarse_tables=tables)
         return VelocityResult(res.x, mesh.basis, res.iterations,
                               res.residual, res.converged)
 
@@ -105,7 +128,12 @@ def compute_velocity_fields(
     f = build_rhs(mesh, op, potentials, times, potentials_next)
 
     if method == "cg":
-        pre = block_jacobi_inverse(mesh, op.g, lambda_)
+        if tables is not None:
+            from manifold_flow_tpu.solve.coarse import make_two_level
+
+            pre = make_two_level(mesh, op.g, op.lambda_, tables)
+        else:
+            pre = block_jacobi_inverse(mesh, op.g, lambda_)
         res = solve_cg(op, f, precond=pre, tol=tol, max_iter=max_iter,
                        precise_dots=precise_dots)
         return VelocityResult(res.x, mesh.basis, res.iterations,

@@ -49,7 +49,8 @@ def solve_cg(operator: FlowOperator, f: jnp.ndarray,
     Args:
       operator: batched FlowOperator (T frames).
       f: (T, 2N) right-hand sides.
-      precond: optional (T, N, 2, 2) inverted block-Jacobi blocks.
+      precond: optional (T, N, 2, 2) inverted block-Jacobi blocks, or any
+        object with an `.apply(r)` method (e.g. solve.coarse.TwoLevelPrecond).
       tol: relative tolerance on |r| / |f| per frame.
       max_iter: iteration cap (static).
     """
@@ -57,7 +58,11 @@ def solve_cg(operator: FlowOperator, f: jnp.ndarray,
     target = tol * jnp.maximum(fnorm, jnp.finfo(f.dtype).tiny)
 
     def apply_m(r):
-        return apply_block_diag(precond, r) if precond is not None else r
+        if precond is None:
+            return r
+        if hasattr(precond, "apply"):
+            return precond.apply(r)
+        return apply_block_diag(precond, r)
 
     x0 = jnp.zeros_like(f)
     r0 = f

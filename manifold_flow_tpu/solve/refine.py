@@ -44,7 +44,8 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
                   lambda_: float = 0.01, tol: float = 1e-8,
                   inner_tol: float = 1e-5, max_iter: int = 2000,
                   refine_steps: int = 8,
-                  potentials_next: jnp.ndarray | None = None) -> RefineResult:
+                  potentials_next: jnp.ndarray | None = None,
+                  coarse_tables=None) -> RefineResult:
     """Solve (a1_k + lambda a2) x_k = f_k for all frames to f64-grade accuracy.
 
     Args:
@@ -64,12 +65,13 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
     op_df, f_df = make_df_operator(mesh, potentials, times, lambda_,
                                    potentials_next=potentials_next)
     return refine_loop(mesh, op_df, f_df, tol=tol, inner_tol=inner_tol,
-                       max_iter=max_iter, refine_steps=refine_steps)
+                       max_iter=max_iter, refine_steps=refine_steps,
+                       coarse_tables=coarse_tables)
 
 
 def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
                 inner_tol: float = 1e-5, max_iter: int = 2000,
-                refine_steps: int = 8) -> RefineResult:
+                refine_steps: int = 8, coarse_tables=None) -> RefineResult:
     """The refinement iteration given a prebuilt DF operator + RHS.
 
     Factored out so parallel.partition can run it inside a shard_map with
@@ -81,7 +83,12 @@ def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
         dof=op_df.dof, blocks2=op_df.blocks2.hi, g=op_df.g.hi,
         w_scale=op_df.w_scale.hi, lambda_=op_df.lambda_.hi,
         gather_base=op_df.gather_base, n_dof=op_df.n_dof)
-    pre32 = block_jacobi_inverse(mesh, op32.g, op32.lambda_)
+    if coarse_tables is not None:
+        from manifold_flow_tpu.solve.coarse import make_two_level
+
+        pre32 = make_two_level(mesh, op32.g, op32.lambda_, coarse_tables)
+    else:
+        pre32 = block_jacobi_inverse(mesh, op32.g, op32.lambda_)
 
     fnorm = jnp.linalg.norm(f_df.hi, axis=-1)
     target = (tol * jnp.maximum(fnorm, jnp.finfo(jnp.float32).tiny)
