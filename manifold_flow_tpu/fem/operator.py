@@ -134,9 +134,14 @@ def invert_2x2_blocks(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_block_diag(diag: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Apply per-vertex 2x2 blocks (T, N, 2, 2) to DOF vectors r (T, 2N)."""
-    t = r.shape[0]
+    """Apply per-vertex 2x2 blocks (T, N, 2, 2) to DOF vectors r (T, 2N).
+
+    Written as four elementwise multiply-adds on the (T, N) component halves
+    (not stack/einsum): keeps everything in the iterate's natural layout —
+    no (T, N, 2) transposes in the CG hot loop.
+    """
     n = diag.shape[1]
-    r2 = jnp.stack([r[:, :n], r[:, n:]], axis=-1)            # (T, N, 2)
-    z2 = jnp.einsum("tnab,tnb->tna", diag, r2)
-    return jnp.concatenate([z2[..., 0], z2[..., 1]], axis=-1)
+    r1, r2 = r[:, :n], r[:, n:]
+    z1 = diag[:, :, 0, 0] * r1 + diag[:, :, 0, 1] * r2
+    z2 = diag[:, :, 1, 0] * r1 + diag[:, :, 1, 1] * r2
+    return jnp.concatenate([z1, z2], axis=-1)

@@ -37,6 +37,7 @@ import numpy as np
 from manifold_flow_tpu.fem import assembly
 from manifold_flow_tpu.fem.operator import apply_block_diag
 from manifold_flow_tpu.geometry.mesh import TriMesh
+from manifold_flow_tpu.kernels import reduce as kreduce
 
 
 def aggregate_vertices(neighbors: np.ndarray, degrees: np.ndarray,
@@ -105,13 +106,22 @@ def aggregate_vertices(neighbors: np.ndarray, degrees: np.ndarray,
 class CoarseTables:
     """Host-precomputed integer tables for one mesh (hashable-static sizes).
 
-    agg    (N,)  aggregate id per vertex
-    seeds  (Nc,) seed vertex per aggregate (reference tangent basis)
-    n_coarse     static aggregate count Nc
+    agg     (N,)     aggregate id per vertex
+    seeds   (Nc,)    seed vertex per aggregate (reference tangent basis)
+    members (Nc, K)  member vertices per aggregate, padded with N — turns the
+                     restriction P^T (a per-vertex scatter-add over
+                     aggregates) into a fixed-width gather + sum, which is
+                     the fast formulation on TPU (scatter serializes)
+    asm_plan         kernels.reduce.ReducePlan assembling the (M, 3, 2, 3, 2)
+                     triangle-local coarse contributions into the dense
+                     (2Nc)^2 matrix without any scatter
+    n_coarse         static aggregate count Nc
     """
 
     agg: jnp.ndarray
     seeds: jnp.ndarray
+    members: jnp.ndarray
+    asm_plan: kreduce.ReducePlan
     n_coarse: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
@@ -130,12 +140,37 @@ def build_tables(mesh: TriMesh, passes: int = 2) -> CoarseTables:
         # np.asarray raises on traced topology — callers fall back to Jacobi.
         neighbors = np.asarray(mesh.vertex_neighbors)
         degrees = np.asarray(mesh.vertex_degree)
-        hit = aggregate_vertices(neighbors, degrees, passes=passes)
+        agg, seeds = aggregate_vertices(neighbors, degrees, passes=passes)
+        n = neighbors.shape[0]
+        nc = int(seeds.shape[0])
+        order = np.argsort(agg, kind="stable")
+        counts = np.bincount(agg, minlength=nc)
+        k = max(int(counts.max()), 1)
+        members = np.full((nc, k), n, dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        for a in range(nc):
+            span = order[offsets[a]: offsets[a + 1]]
+            members[a, : span.size] = span
+        # Scatter-free assembly plan for the (M, 3, 2, 3, 2) local coarse
+        # contributions -> flat (2Nc)^2 targets.
+        tris = np.clip(np.asarray(mesh.triangles), 0, n - 1)
+        nc2 = 2 * nc
+        cdof = 2 * agg[tris][:, :, None] + np.arange(2)        # (M, 3, 2)
+        rows = cdof[:, :, :, None, None]
+        cols = cdof[:, None, None, :, :]
+        flat = (rows * nc2 + cols).reshape(-1)
+        plan_np = kreduce.build_reduce_plan_np(flat, nc2 * nc2)
+        hit = (agg, seeds, members, plan_np)
         _TABLE_CACHE[key] = hit
-    agg, seeds = hit
+    agg, seeds, members, plan_np = hit
+    pad_perm, slot_groups, dense_gather, n_vals = plan_np
     # Convert to jnp per call (NOT cached): under an active trace these are
     # constants bound to that trace; caching them would leak tracers.
+    plan = kreduce.ReducePlan(
+        pad_perm=jnp.asarray(pad_perm), slot_groups=jnp.asarray(slot_groups),
+        dense_gather=jnp.asarray(dense_gather), n_vals=n_vals)
     return CoarseTables(agg=jnp.asarray(agg), seeds=jnp.asarray(seeds),
+                        members=jnp.asarray(members), asm_plan=plan,
                         n_coarse=int(seeds.shape[0]))
 
 
@@ -144,35 +179,53 @@ def build_tables(mesh: TriMesh, passes: int = 2) -> CoarseTables:
 class TwoLevelPrecond:
     """M^{-1} = block-Jacobi + tangent-aware coarse correction (a pytree).
 
-    diag   (T, N, 2, 2)   inverted per-vertex diagonal blocks
-    r_blk  (N, 2, 2)      prolongation blocks R_v[a, b] = e_v^a . ebar^b
-    agg    (N,)           aggregate ids
-    ac_inv (T, 2Nc, 2Nc)  explicit inverses of the coarse matrices
+    diag    (T, N, 2, 2)   inverted per-vertex diagonal blocks
+    r_blk   (N, 2, 2)      prolongation blocks R_v[a, b] = e_v^a . ebar^b
+    agg     (N,)           aggregate ids (prolongation gather)
+    members (Nc, K)        member vertices per aggregate (restriction gather)
+    ac_inv  (T, 2Nc, 2Nc)  explicit inverses of the coarse matrices
     """
 
     diag: jnp.ndarray
     r_blk: jnp.ndarray
     agg: jnp.ndarray
+    members: jnp.ndarray
     ac_inv: jnp.ndarray
     n_coarse: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
-        """Apply M^{-1} to residuals r (T, 2N) -> (T, 2N)."""
+        """Apply M^{-1} to residuals r (T, 2N) -> (T, 2N).
+
+        All per-vertex 2-blocks are applied as elementwise multiply-adds on
+        (T, N) component planes (no (T, N, 2) transposes); the restriction
+        P^T is a fixed-width member gather + sum, the coarse solve is one
+        batched dense matvec on the precomputed inverse.
+        """
         z_fine = apply_block_diag(self.diag, r)
         t = r.shape[0]
         n = self.r_blk.shape[0]
-        r2 = jnp.stack([r[:, :n], r[:, n:]], axis=-1)          # (T, N, 2)
-        q = jnp.einsum("nab,tna->tnb", self.r_blk, r2)         # (T, N, 2)
-        rc = jax.ops.segment_sum(
-            jnp.swapaxes(q, 0, 1), self.agg,
-            num_segments=self.n_coarse)                        # (Nc, T, 2)
-        rc_flat = jnp.swapaxes(rc, 0, 1).reshape(t, -1)        # (T, 2Nc)
+        r1, r2 = r[:, :n], r[:, n:]
+        r00, r01 = self.r_blk[:, 0, 0], self.r_blk[:, 0, 1]
+        r10, r11 = self.r_blk[:, 1, 0], self.r_blk[:, 1, 1]
+        # q_b = sum_a R[a, b] r_a  (coarse-basis components per vertex)
+        q1 = r00 * r1 + r10 * r2                               # (T, N)
+        q2 = r01 * r1 + r11 * r2                               # (T, N)
+        zero = jnp.zeros((t, 1), dtype=r.dtype)
+        q1p = jnp.concatenate([q1, zero], axis=1)
+        q2p = jnp.concatenate([q2, zero], axis=1)
+        # Restriction: fixed-width gather + sum (members pads with row N).
+        rc1 = jnp.take(q1p, self.members, axis=1).sum(axis=2)  # (T, Nc)
+        rc2 = jnp.take(q2p, self.members, axis=1).sum(axis=2)  # (T, Nc)
+        rc_flat = jnp.stack([rc1, rc2], axis=-1).reshape(t, -1)  # (T, 2Nc)
         yc = jnp.einsum("tij,tj->ti", self.ac_inv, rc_flat,
                         preferred_element_type=rc_flat.dtype)  # (T, 2Nc)
-        y2 = yc.reshape(t, self.n_coarse, 2)[:, self.agg]      # (T, N, 2)
-        z2 = jnp.einsum("nab,tnb->tna", self.r_blk, y2)        # (T, N, 2)
-        z_coarse = jnp.concatenate([z2[..., 0], z2[..., 1]], axis=-1)
-        return z_fine + z_coarse
+        ycr = yc.reshape(t, self.n_coarse, 2)
+        ya = jnp.take(ycr[:, :, 0], self.agg, axis=1)          # (T, N)
+        yb = jnp.take(ycr[:, :, 1], self.agg, axis=1)          # (T, N)
+        # Prolongation: z_a = sum_b R[a, b] y_b
+        z1 = r00 * ya + r01 * yb
+        z2 = r10 * ya + r11 * yb
+        return z_fine + jnp.concatenate([z1, z2], axis=-1)
 
 
 def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
@@ -180,10 +233,11 @@ def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
     """Assemble A_c = P^T (a1_k + lambda a2) P for all frames: (T, 2Nc, 2Nc).
 
     Triangle-local: transform each 6x6 local block by the corner R blocks and
-    scatter-add into the dense coarse matrix. The a2 part is frame-independent
-    and assembled once; the a1 part is the rank-structured outer product of
-    the coarse-projected factors Rg (fem.assembly docstring, reference
-    compute_a1 utils/compute_optical_flow.py:273-285).
+    assemble into the dense coarse matrix with the scatter-free two-stage
+    reduction (tables.asm_plan — TPU scatter would serialize). The a2 part is
+    frame-independent and assembled once; the a1 part is the rank-structured
+    outer product of the coarse-projected factors Rg (fem.assembly docstring,
+    reference compute_a1 utils/compute_optical_flow.py:273-285).
     """
     dtype = g.dtype
     nc2 = 2 * tables.n_coarse
@@ -192,19 +246,12 @@ def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
                        ebar[tables.agg])                       # (N, 2, 2)
     rc = r_blk[mesh.triangles]                                 # (M, 3, 2, 2)
 
-    # Flat scatter indices (M*36,): rows/cols interleave (aggregate, beta).
-    cagg = tables.agg[mesh.triangles]                          # (M, 3)
-    cdof = 2 * cagg[:, :, None] + jnp.arange(2)[None, None]    # (M, 3, 2)
-    rows = cdof[:, :, :, None, None]
-    cols = cdof[:, None, None, :, :]
-    idx = (rows * nc2 + cols).reshape(-1)                      # (M*36,)
-
     # a2: B2c[m, c, x, c', y] = sum_{a,b} R_c[a,x] B2[c,a,c',b] R_c'[b,y]
     m = mesh.triangles.shape[0]
     b2 = assembly.a2_blocks(mesh).astype(dtype).reshape(m, 3, 2, 3, 2)
     b2c = jnp.einsum("mcax,mcadb,mdby->mcxdy", rc, b2, rc)
-    a2c = jnp.zeros((nc2 * nc2,), dtype=dtype).at[idx].add(
-        b2c.reshape(-1)).reshape(nc2, nc2)
+    a2c = kreduce.apply_reduce(
+        tables.asm_plan, b2c.reshape(1, -1))[0].reshape(nc2, nc2)
 
     # a1_k: coarse-projected factors Rg (T, M, 3, 2); local block is
     # w[c,c'] Rg_c Rg_c'^T with w = (A/12) * (1 + delta_{cc'}).
@@ -213,8 +260,8 @@ def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
         * (mesh.areas.astype(dtype)[:, None, None] / 12.0)     # (M, 3, 3)
     b1c = jnp.einsum("tmxy,tmuv,mxu->tmxyuv", rg, rg, w)       # (T,M,3,2,3,2)
     t = g.shape[0]
-    a1c = jnp.zeros((t, nc2 * nc2), dtype=dtype).at[:, idx].add(
-        b1c.reshape(t, -1)).reshape(t, nc2, nc2)
+    a1c = kreduce.apply_reduce(
+        tables.asm_plan, b1c.reshape(t, -1)).reshape(t, nc2, nc2)
 
     ac = a1c + lambda_ * a2c[None]
     # Tiny ridge keeps the factorization safe if some R_v happen to be
@@ -246,4 +293,5 @@ def make_two_level(mesh: TriMesh, g: jnp.ndarray, lambda_,
     bad = jnp.any(jnp.isnan(linv), axis=(-2, -1), keepdims=True)
     ac_inv = jnp.where(bad, jnp.zeros_like(ac_inv), ac_inv)
     return TwoLevelPrecond(diag=diag, r_blk=r_blk, agg=tables.agg,
-                           ac_inv=ac_inv, n_coarse=tables.n_coarse)
+                           members=tables.members, ac_inv=ac_inv,
+                           n_coarse=tables.n_coarse)
