@@ -58,6 +58,7 @@ def compute_velocity_fields(
     potentials_next: jnp.ndarray | None = None,
     precond: str = "auto",
     coarse_passes: int = 2,
+    coarse_a1: str = "full",
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
 
@@ -77,6 +78,10 @@ def compute_velocity_fields(
         since aggregation is a host-side precompute).
       coarse_passes: greedy-aggregation passes for the coarse space (~5-7x
         coarsening per pass).
+      coarse_a1: data term carried by the coarse matrices — 'full' (exact
+        per-frame), 'mean' (time-averaged, one shared coarse matrix; cheaper
+        build/apply, mildly more iterations), or 'none' (regularization only;
+        weak — kept for experiments).
     """
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
@@ -120,7 +125,7 @@ def compute_velocity_fields(
         res = solve_refined(mesh, potentials, times, lambda_=lambda_,
                             tol=tol, max_iter=max_iter,
                             potentials_next=potentials_next,
-                            coarse_tables=tables)
+                            coarse_tables=tables, coarse_a1=coarse_a1)
         return VelocityResult(res.x, mesh.basis, res.iterations,
                               res.residual, res.converged)
 
@@ -131,7 +136,8 @@ def compute_velocity_fields(
         if tables is not None:
             from manifold_flow_tpu.solve.coarse import make_two_level
 
-            pre = make_two_level(mesh, op.g, op.lambda_, tables)
+            pre = make_two_level(mesh, op.g, op.lambda_, tables,
+                                 a1_mode=coarse_a1)
         else:
             pre = block_jacobi_inverse(mesh, op.g, lambda_)
         res = solve_cg(op, f, precond=pre, tol=tol, max_iter=max_iter,

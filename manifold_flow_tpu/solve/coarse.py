@@ -217,8 +217,11 @@ class TwoLevelPrecond:
         rc1 = jnp.take(q1p, self.members, axis=1).sum(axis=2)  # (T, Nc)
         rc2 = jnp.take(q2p, self.members, axis=1).sum(axis=2)  # (T, Nc)
         rc_flat = jnp.stack([rc1, rc2], axis=-1).reshape(t, -1)  # (T, 2Nc)
-        yc = jnp.einsum("tij,tj->ti", self.ac_inv, rc_flat,
-                        preferred_element_type=rc_flat.dtype)  # (T, 2Nc)
+        if self.ac_inv.shape[0] == 1:   # shared coarse matrix: one matmul
+            yc = rc_flat @ self.ac_inv[0]
+        else:
+            yc = jnp.einsum("tij,tj->ti", self.ac_inv, rc_flat,
+                            preferred_element_type=rc_flat.dtype)  # (T, 2Nc)
         ycr = yc.reshape(t, self.n_coarse, 2)
         ya = jnp.take(ycr[:, :, 0], self.agg, axis=1)          # (T, N)
         yb = jnp.take(ycr[:, :, 1], self.agg, axis=1)          # (T, N)
@@ -229,7 +232,7 @@ class TwoLevelPrecond:
 
 
 def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
-                    tables: CoarseTables) -> jnp.ndarray:
+                    tables: CoarseTables, a1_mode: str = "full"):
     """Assemble A_c = P^T (a1_k + lambda a2) P for all frames: (T, 2Nc, 2Nc).
 
     Triangle-local: transform each 6x6 local block by the corner R blocks and
@@ -255,30 +258,49 @@ def coarse_matrices(mesh: TriMesh, g: jnp.ndarray, lambda_,
 
     # a1_k: coarse-projected factors Rg (T, M, 3, 2); local block is
     # w[c,c'] Rg_c Rg_c'^T with w = (A/12) * (1 + delta_{cc'}).
+    # a1_mode:
+    #   'full' — exact per-frame coarse data term (strongest correction; the
+    #            assembly reduction runs over all T frames);
+    #   'mean' — time-averaged data term, ONE shared coarse matrix: ~T x
+    #            cheaper to build/invert and the correction becomes a single
+    #            shared-matrix matmul; iteration counts rise only mildly
+    #            because the coarse space mainly carries the smooth a2
+    #            near-kernel;
+    #   'none' — lambda*a2 only (frame-independent regularization term).
+    t = g.shape[0]
     rg = jnp.einsum("tmca,mcab->tmcb", g, rc)                  # (T, M, 3, 2)
     w = (jnp.ones((3, 3), dtype) + jnp.eye(3, dtype=dtype)) \
         * (mesh.areas.astype(dtype)[:, None, None] / 12.0)     # (M, 3, 3)
-    b1c = jnp.einsum("tmxy,tmuv,mxu->tmxyuv", rg, rg, w)       # (T,M,3,2,3,2)
-    t = g.shape[0]
-    a1c = kreduce.apply_reduce(
-        tables.asm_plan, b1c.reshape(t, -1)).reshape(t, nc2, nc2)
-
-    ac = a1c + lambda_ * a2c[None]
+    if a1_mode == "full":
+        b1c = jnp.einsum("tmxy,tmuv,mxu->tmxyuv", rg, rg, w)   # (T,M,3,2,3,2)
+        a1c = kreduce.apply_reduce(
+            tables.asm_plan, b1c.reshape(t, -1)).reshape(t, nc2, nc2)
+        ac = a1c + lambda_ * a2c[None]
+    elif a1_mode == "mean":
+        b1c = jnp.einsum("tmxy,tmuv,mxu->mxyuv", rg, rg, w) / t
+        a1c = kreduce.apply_reduce(
+            tables.asm_plan, b1c.reshape(1, -1)).reshape(nc2, nc2)
+        ac = (a1c + lambda_ * a2c)[None]
+    elif a1_mode == "none":
+        ac = (lambda_ * a2c)[None]
+    else:
+        raise ValueError(f"unknown a1_mode {a1_mode!r}")
     # Tiny ridge keeps the factorization safe if some R_v happen to be
     # nearly singular (tangent plane ~ orthogonal to the seed's).
     scale = jnp.max(jnp.abs(jnp.diagonal(ac, axis1=-2, axis2=-1)),
-                    axis=-1)                                   # (T,)
+                    axis=-1)
     ridge = (1e-6 * scale)[:, None, None] * jnp.eye(nc2, dtype=dtype)[None]
     return ac + ridge, r_blk
 
 
 def make_two_level(mesh: TriMesh, g: jnp.ndarray, lambda_,
-                   tables: CoarseTables) -> TwoLevelPrecond:
+                   tables: CoarseTables,
+                   a1_mode: str = "full") -> TwoLevelPrecond:
     """Build the two-level preconditioner for the operator defined by g."""
     from manifold_flow_tpu.fem.operator import block_jacobi_inverse
 
     diag = block_jacobi_inverse(mesh, g, lambda_)
-    ac, r_blk = coarse_matrices(mesh, g, lambda_, tables)
+    ac, r_blk = coarse_matrices(mesh, g, lambda_, tables, a1_mode=a1_mode)
     # Explicit inverse via Cholesky: two triangular solves against I at build
     # time; the iteration loop then only does batched matmuls.
     chol = jnp.linalg.cholesky(ac)

@@ -39,13 +39,14 @@ class RefineResult(NamedTuple):
     converged: jnp.ndarray   # (T,) bool
 
 
-@partial(jax.jit, static_argnames=("lambda_", "max_iter", "refine_steps"))
+@partial(jax.jit, static_argnames=("lambda_", "max_iter", "refine_steps",
+                                   "coarse_a1"))
 def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
                   lambda_: float = 0.01, tol: float = 1e-8,
                   inner_tol: float = 1e-5, max_iter: int = 2000,
                   refine_steps: int = 8,
                   potentials_next: jnp.ndarray | None = None,
-                  coarse_tables=None) -> RefineResult:
+                  coarse_tables=None, coarse_a1: str = "full") -> RefineResult:
     """Solve (a1_k + lambda a2) x_k = f_k for all frames to f64-grade accuracy.
 
     Args:
@@ -66,12 +67,13 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
                                    potentials_next=potentials_next)
     return refine_loop(mesh, op_df, f_df, tol=tol, inner_tol=inner_tol,
                        max_iter=max_iter, refine_steps=refine_steps,
-                       coarse_tables=coarse_tables)
+                       coarse_tables=coarse_tables, coarse_a1=coarse_a1)
 
 
 def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
                 inner_tol: float = 1e-5, max_iter: int = 2000,
-                refine_steps: int = 8, coarse_tables=None) -> RefineResult:
+                refine_steps: int = 8, coarse_tables=None,
+                coarse_a1: str = "full") -> RefineResult:
     """The refinement iteration given a prebuilt DF operator + RHS.
 
     Factored out so parallel.partition can run it inside a shard_map with
@@ -86,7 +88,8 @@ def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
     if coarse_tables is not None:
         from manifold_flow_tpu.solve.coarse import make_two_level
 
-        pre32 = make_two_level(mesh, op32.g, op32.lambda_, coarse_tables)
+        pre32 = make_two_level(mesh, op32.g, op32.lambda_, coarse_tables,
+                               a1_mode=coarse_a1)
     else:
         pre32 = block_jacobi_inverse(mesh, op32.g, op32.lambda_)
 
