@@ -170,6 +170,11 @@ def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
     t = f_df.hi.shape[0]
 
     tables = None
+    if precond == "auto":
+        from manifold_flow_tpu.solve.api import TWO_LEVEL_MIN_VERTICES
+
+        if mesh.n_vertices < TWO_LEVEL_MIN_VERTICES:
+            precond = "jacobi"
     if precond != "jacobi":
         from manifold_flow_tpu.solve import coarse
 

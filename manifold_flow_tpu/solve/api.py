@@ -24,6 +24,12 @@ from manifold_flow_tpu.solve.cg import solve_cg
 from manifold_flow_tpu.solve.cholesky import solve_cholesky
 
 
+# precond='auto' crossover: measured on TPU v5e (bench problem family), the
+# two-level coarse correction beats plain block-Jacobi once Jacobi iteration
+# counts outgrow the coarse build cost — around a few thousand vertices.
+TWO_LEVEL_MIN_VERTICES = 6000
+
+
 class VelocityResult(NamedTuple):
     v_k: jnp.ndarray         # (T-1, 2N) velocity DOFs
     e: jnp.ndarray           # (N, 2, 3) tangent bases
@@ -73,9 +79,13 @@ def compute_velocity_fields(
         accelerators with f64 inputs — direct-solver accuracy without native
         f64 units — else cg).
       precond: 'two_level' (block-Jacobi + aggregation coarse correction,
-        solve.coarse), 'jacobi', or 'auto' (two_level when the mesh topology
-        is concrete — it falls back to jacobi if the mesh is being traced,
-        since aggregation is a host-side precompute).
+        solve.coarse), 'jacobi', or 'auto'. 'auto' picks two_level for large
+        meshes and jacobi for small ones: Jacobi-PCG iteration counts grow
+        with mesh refinement (~542 at 12.5k vertices vs ~195 at 3.1k on the
+        bench problem) while the coarse correction keeps them ~flat (~107 at
+        12.5k, 2.1x faster end-to-end); below the crossover the coarse build
+        overhead outweighs the saved iterations. Falls back to jacobi if the
+        mesh topology is traced (aggregation is a host-side precompute).
       coarse_passes: greedy-aggregation passes for the coarse space (~5-7x
         coarsening per pass).
       coarse_a1: data term carried by the coarse matrices — 'full' (exact
@@ -105,6 +115,8 @@ def compute_velocity_fields(
     tables = None
     if precond not in ("jacobi", "two_level", "auto"):
         raise ValueError(f"unknown precond: {precond!r}")
+    if precond == "auto" and mesh.n_vertices < TWO_LEVEL_MIN_VERTICES:
+        precond = "jacobi"
     if precond != "jacobi" and method in ("refined", "cg"):
         from manifold_flow_tpu.solve import coarse
 
