@@ -37,6 +37,7 @@ class RefineResult(NamedTuple):
     iterations: jnp.ndarray  # () int32 — total inner CG iterations
     residual: jnp.ndarray    # (T,) final |f - A x|
     converged: jnp.ndarray   # (T,) bool
+    outer_steps: jnp.ndarray = jnp.int32(0)  # () refinement steps executed
 
 
 @partial(jax.jit, static_argnames=("lambda_", "max_iter", "refine_steps",
@@ -111,9 +112,10 @@ def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
         return x, r, total_iters + inner.iterations, step + 1
 
     zero = df32.DF(jnp.zeros_like(f_df.hi), jnp.zeros_like(f_df.hi))
-    x, r, total_iters, _ = jax.lax.while_loop(
+    x, r, total_iters, steps = jax.lax.while_loop(
         cond, body, (zero, f_df, jnp.int32(0), jnp.int32(0)))
 
     rn = jnp.linalg.norm(df32.to_f64(r), axis=-1)
     return RefineResult(x=df32.to_f64(x), iterations=total_iters, residual=rn,
-                        converged=rn <= target.astype(jnp.float64))
+                        converged=rn <= target.astype(jnp.float64),
+                        outer_steps=steps)
