@@ -71,17 +71,39 @@ def frame_factors(mesh: TriMesh, potentials: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("tmd,mcad->tmca", grad_m, et)           # (T, M, 3, 2)
 
 
+def gather_base_table(mesh: TriMesh) -> jnp.ndarray:
+    """Vertex -> flat (cell*6 + slot*2) local-DOF table (N, C), padded to a
+    zero slot at M*6 — the scatter-free reduction used by fem.operator."""
+    m = mesh.triangles.shape[0]
+    pad = mesh.vertex_cells < 0
+    return jnp.where(
+        pad, m * 6,
+        mesh.vertex_cells * 6 + mesh.vertex_cell_slot * 2).astype(jnp.int32)
+
+
+def reduce_local(mesh: TriMesh, y_loc: jnp.ndarray) -> jnp.ndarray:
+    """Reduce per-triangle local DOF contributions (T, M, 6) -> (T, 2N).
+
+    Fixed-width gather + sum over each vertex's incident (cell, corner)
+    slots; TPU scatter-add would serialize (see kernels/reduce.py notes).
+    """
+    t = y_loc.shape[0]
+    base = gather_base_table(mesh)
+    y_flat = jnp.concatenate(
+        [y_loc.reshape(t, -1), jnp.zeros((t, 2), y_loc.dtype)], axis=1)
+    c0 = jnp.take(y_flat, base, axis=1)                       # (T, N, C)
+    c1 = jnp.take(y_flat, base + 1, axis=1)                   # (T, N, C)
+    return jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
+
+
 def rhs_vector(mesh: TriMesh, g: jnp.ndarray, dI: jnp.ndarray) -> jnp.ndarray:
     """RHS f (T, 2N) from factors g (T, M, 3, 2) and dI = (I_{k+1}-I_k)/dt (T, N)."""
     di_tri = dI[..., mesh.triangles]                          # (T, M, 3)
     s = jnp.sum(di_tri, axis=-1, keepdims=True)               # (T, M, 1)
     scale = (di_tri + s) * (mesh.areas / 12.0)[:, None]       # (T, M, 3)
     f_loc = g * scale[..., None]                              # (T, M, 3, 2)
-    dof = local_dof_indices(mesh)                             # (M, 6)
     t = f_loc.shape[0]
-    flat = f_loc.reshape(t, -1)                               # (T, M*6)
-    out = jnp.zeros((t, mesh.n_dof), dtype=f_loc.dtype)
-    return out.at[:, dof.reshape(-1)].add(flat)
+    return reduce_local(mesh, f_loc.reshape(t, -1, 6))
 
 
 def a1_blocks(mesh: TriMesh, g: jnp.ndarray) -> jnp.ndarray:
@@ -140,6 +162,17 @@ def scatter_diag(contrib: jnp.ndarray, triangles: jnp.ndarray,
 
 
 def diag_blocks(mesh: TriMesh, g: jnp.ndarray, lambda_: float) -> jnp.ndarray:
-    """Per-vertex 2x2 diagonal blocks of A = a1 + lambda a2: (T, N, 2, 2)."""
-    return scatter_diag(diag_contributions(mesh, g, lambda_), mesh.triangles,
-                        mesh.n_vertices)
+    """Per-vertex 2x2 diagonal blocks of A = a1 + lambda a2: (T, N, 2, 2).
+
+    Gather-mode reduction over each vertex's incident (cell, corner) slots
+    (scatter-free, same rationale as reduce_local)."""
+    contrib = diag_contributions(mesh, g, lambda_)            # (T, M, 3, 2, 2)
+    t = contrib.shape[0]
+    m = mesh.triangles.shape[0]
+    idx = jnp.where(mesh.vertex_cells < 0, m * 3,
+                    mesh.vertex_cells * 3 + mesh.vertex_cell_slot)  # (N, C)
+    flat = jnp.concatenate(
+        [contrib.reshape(t, m * 3, 4),
+         jnp.zeros((t, 1, 4), contrib.dtype)], axis=1)        # (T, 3M+1, 4)
+    picked = jnp.take(flat, idx, axis=1)                      # (T, N, C, 4)
+    return picked.sum(axis=2).reshape(t, mesh.n_vertices, 2, 2)
