@@ -188,6 +188,46 @@ def cmd_winding(args):
                       "frames_with_lines": len(lines), "out": str(out)}))
 
 
+def cmd_visualize(args):
+    """C19: glyph plot of one frame, or a GIF animation, from artifacts."""
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+    from manifold_flow_tpu.pipeline import stages
+    from manifold_flow_tpu.utils import io
+    from manifold_flow_tpu.viz import fields
+
+    _ = _load_config(args)
+    mesh = stages.load_surface(args.surface)
+    e = io.load_e_csv(args.e)
+    v_k = io.load_indexed_csv(args.v_k)
+    v_world = np.asarray(velocity_to_world(v_k, e))
+    scalars = _load_movie(args.scalars) if args.scalars else None
+    sing = io.load_pickle(args.singularities) if args.singularities else None
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.gif:
+        path = out / "velocity_fields.gif"
+        times = (np.arange(v_world.shape[0]) / args.sfreq
+                 if args.sfreq else None)
+        fields.animate_velocity_fields(
+            mesh, v_world, path, scalars=scalars,
+            singularities_per_frame=sing, times=times,
+            scaling=args.scaling, stride=args.stride)
+        print(json.dumps({"stage": "visualize", "gif": str(path),
+                          "frames": int(v_world.shape[0])}))
+    else:
+        k = args.frame
+        path = out / f"velocity_frame_{k}.png"
+        fig = fields.plot_velocity_frame(
+            mesh, v_world[k],
+            scalars=scalars[k] if scalars is not None else None,
+            singularities=np.asarray(sing[k]) if sing else None,
+            scaling=args.scaling, stride=args.stride,
+            title=f"frame {k}")
+        fig.savefig(path, dpi=120)
+        print(json.dumps({"stage": "visualize", "png": str(path),
+                          "frame": k}))
+
+
 def cmd_demo(args):
     """End-to-end on synthetic data: surface -> movie -> flow -> detection."""
     from manifold_flow_tpu.geometry import synthetic
@@ -297,6 +337,24 @@ def build_parser():
     sp.add_argument("--v-k", required=True)
     sp.add_argument("--singularities", required=True)
     sp.set_defaults(func=cmd_winding)
+
+    sp = sub.add_parser("visualize",
+                        help="C19: glyph plot / GIF from V_k artifacts")
+    _add_common(sp)
+    sp.add_argument("--surface", required=True)
+    sp.add_argument("--e", required=True)
+    sp.add_argument("--v-k", required=True)
+    sp.add_argument("--scalars", default=None,
+                    help="(T, N) potentials/phases movie for the colormap")
+    sp.add_argument("--singularities", default=None,
+                    help="singularity_points.pkl to overlay (red)")
+    sp.add_argument("--frame", type=int, default=0)
+    sp.add_argument("--gif", action="store_true")
+    sp.add_argument("--sfreq", type=float, default=None,
+                    help="adds time-stamped GIF titles")
+    sp.add_argument("--scaling", default="scaled", choices=["raw", "scaled"])
+    sp.add_argument("--stride", type=int, default=1)
+    sp.set_defaults(func=cmd_visualize)
 
     sp = sub.add_parser("demo", help="synthetic end-to-end run + validation")
     _add_common(sp)

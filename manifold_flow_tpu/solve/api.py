@@ -63,7 +63,7 @@ def compute_velocity_fields(
     batch_size: int = 4,
     potentials_next: jnp.ndarray | None = None,
     precond: str = "auto",
-    coarse_passes: int = 2,
+    coarse_passes: int | None = None,
     coarse_a1: str = "full",
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
@@ -87,7 +87,9 @@ def compute_velocity_fields(
         overhead outweighs the saved iterations. Falls back to jacobi if the
         mesh topology is traced (aggregation is a host-side precompute).
       coarse_passes: greedy-aggregation passes for the coarse space (~5-7x
-        coarsening per pass).
+        coarsening per pass); None (default) auto-deepens until the coarse
+        space is at most solve.coarse.MAX_COARSE_SIZE aggregates, keeping the
+        per-iteration dense coarse correction scale-free.
       coarse_a1: data term carried by the coarse matrices — 'full' (exact
         per-frame), 'mean' (time-averaged, one shared coarse matrix; cheaper
         build/apply, mildly more iterations), or 'none' (regularization only;

@@ -127,10 +127,19 @@ class CoarseTables:
 
 _TABLE_CACHE: dict = {}
 
+# 'auto' pass count: keep aggregating until at most this many aggregates.
+# The coarse correction is applied as a dense (T, 2Nc, 2Nc) matvec; capping
+# Nc keeps its per-iteration HBM traffic scale-free (at 2Nc ~ 1000+ the
+# inverse reads would dominate the whole CG iteration), while each extra
+# pass only mildly raises iteration counts.
+MAX_COARSE_SIZE = 512
+_MAX_PASSES = 8
 
-def build_tables(mesh: TriMesh, passes: int = 2) -> CoarseTables:
+
+def build_tables(mesh: TriMesh, passes: int | None = None) -> CoarseTables:
     """Aggregation tables for `mesh` (cached by mesh identity).
 
+    `passes=None` (auto) aggregates until n_coarse <= MAX_COARSE_SIZE.
     Must be called with concrete (non-traced) topology arrays — i.e. outside
     jit, or with the mesh closed over as a constant.
     """
@@ -140,7 +149,16 @@ def build_tables(mesh: TriMesh, passes: int = 2) -> CoarseTables:
         # np.asarray raises on traced topology — callers fall back to Jacobi.
         neighbors = np.asarray(mesh.vertex_neighbors)
         degrees = np.asarray(mesh.vertex_degree)
-        agg, seeds = aggregate_vertices(neighbors, degrees, passes=passes)
+        if passes is None:
+            agg, seeds = aggregate_vertices(neighbors, degrees, passes=1)
+            n_passes = 1
+            while (seeds.shape[0] > MAX_COARSE_SIZE
+                   and n_passes < _MAX_PASSES):
+                agg, seeds = aggregate_vertices(
+                    neighbors, degrees, passes=n_passes + 1)
+                n_passes += 1
+        else:
+            agg, seeds = aggregate_vertices(neighbors, degrees, passes=passes)
         n = neighbors.shape[0]
         nc = int(seeds.shape[0])
         order = np.argsort(agg, kind="stable")
