@@ -82,3 +82,11 @@ def test_refined_with_two_level_matches_oracle(curved_mesh, wave_movie):
     rmse = np.sqrt(np.mean((got - want) ** 2)) / scale
     assert rmse < 1e-7, f"refined+two_level normalized RMSE {rmse}"
     assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_auto_passes_caps_coarse_size(curved_mesh):
+    tables = coarse.build_tables(curved_mesh, passes=None)
+    assert tables.n_coarse <= coarse.MAX_COARSE_SIZE
+    agg = np.asarray(tables.agg)
+    assert agg.shape == (curved_mesh.n_vertices,)
+    assert len(np.unique(agg)) == tables.n_coarse

@@ -77,3 +77,16 @@ def test_uneven_frames_padding(problem):
         mesh, jnp.asarray(pot), jnp.asarray(times), dm, tol=1e-12)
     np.testing.assert_allclose(np.asarray(res.v_k), want, rtol=1e-7,
                                atol=1e-10)
+
+
+def test_refined_sharded_two_level(problem):
+    """Frame-sharded refined solve with the two-level preconditioner active
+    (coarse tables are frame-independent, so they replicate across shards)."""
+    mesh, pot, times, want = problem
+    dm = make_device_mesh(8, 1)
+    res = sharded_compute_velocity_fields(
+        mesh, jnp.asarray(pot, jnp.float64), jnp.asarray(times, jnp.float64),
+        dm, tol=1e-9, method="refined", precond="two_level")
+    assert bool(np.all(np.asarray(res.converged)))
+    np.testing.assert_allclose(np.asarray(res.v_k), want,
+                               rtol=1e-6, atol=1e-9)
