@@ -73,18 +73,25 @@ class FlowOperator:
         return self.lambda_ * y2 + y1.reshape(t, m, 6)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Apply A to x (T, 2N) -> (T, 2N)."""
+        """Apply A to x (T, 2N) -> (T, 2N).
+
+        With a gather_base table the reduction is a fixed-width gather + sum
+        (TPU scatter-add serializes); partitioned operators (axis_name set)
+        use shard-local tables indexing their local triangle slots and psum
+        the mesh-replicated result.
+        """
         t = x.shape[0]
         y_loc = self.local_contributions(x)
-        if self.gather_base is not None and self.axis_name is None:
+        if self.gather_base is not None:
             y_flat = jnp.concatenate(
                 [y_loc.reshape(t, -1),
                  jnp.zeros((t, 2), dtype=y_loc.dtype)], axis=1)
             c0 = jnp.take(y_flat, self.gather_base, axis=1)       # (T, N, C)
             c1 = jnp.take(y_flat, self.gather_base + 1, axis=1)   # (T, N, C)
-            return jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
-        out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
-        out = out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
+            out = jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
+        else:
+            out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
+            out = out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
         if self.axis_name is not None:
             out = jax.lax.psum(out, self.axis_name)
         return out

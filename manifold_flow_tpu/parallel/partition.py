@@ -57,6 +57,41 @@ def _pad_axis(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def _shard_gather_tables(triangles: np.ndarray, n_vertices: int,
+                         n_shards: int, n_real: int | None = None):
+    """Per-shard vertex -> (local cell, corner) tables for gather-mode
+    reductions inside the mesh-partitioned matvec and diagonal build.
+
+    `triangles` is the PADDED (n_shards * Ms, 3) array; shard s owns rows
+    [s*Ms, (s+1)*Ms). Returns (base6, base3): (n_shards, N, Cmax) int32 flat
+    indices `m_local*6 + slot*2` / `m_local*3 + slot`, padded with Ms*6 /
+    Ms*3 (a zero slot appended by the consumer). Scatter-add per iteration
+    would serialize on TPU — these tables keep the distributed hot loop
+    gather-only (one psum per matvec remains).
+    """
+    ms = triangles.shape[0] // n_shards
+    if n_real is None:
+        n_real = triangles.shape[0]
+    incid: list[list[list[tuple[int, int]]]] = [
+        [[] for _ in range(n_vertices)] for _ in range(n_shards)]
+    for m, tri in enumerate(np.asarray(triangles)):
+        if m >= n_real:
+            break  # zero-padded triangles contribute nothing
+        s, m_loc = divmod(m, ms)
+        for slot, v in enumerate(tri):
+            if 0 <= v < n_vertices:
+                incid[s][int(v)].append((m_loc, slot))
+    cmax = max((len(x) for sh in incid for x in sh), default=1) or 1
+    base6 = np.full((n_shards, n_vertices, cmax), ms * 6, dtype=np.int32)
+    base3 = np.full((n_shards, n_vertices, cmax), ms * 3, dtype=np.int32)
+    for s in range(n_shards):
+        for v in range(n_vertices):
+            for c, (m_loc, slot) in enumerate(incid[s][v]):
+                base6[s, v, c] = m_loc * 6 + slot * 2
+                base3[s, v, c] = m_loc * 3 + slot
+    return base6, base3
+
+
 def sharded_compute_velocity_fields(
     mesh: TriMesh,
     potentials: jnp.ndarray,
@@ -111,14 +146,26 @@ def sharded_compute_velocity_fields(
     g = _pad_axis(_pad_axis(g, 0, nf), 1, nm)
     contrib = _pad_axis(_pad_axis(contrib, 0, nf), 1, nm)
     f = _pad_axis(f, 0, nf)
+    base6_np, base3_np = _shard_gather_tables(
+        np.asarray(tris), n_dof // 2, nm, n_real=mesh.n_triangles)
+    base6 = jnp.asarray(base6_np)
+    base3 = jnp.asarray(base3_np)
 
-    def local_solve(dof_l, tris_l, blocks2_l, w_l, g_l, contrib_l, f_l):
+    def local_solve(dof_l, blocks2_l, w_l, g_l, contrib_l, f_l, b6_l, b3_l):
         op = FlowOperator(
             dof=dof_l, blocks2=blocks2_l, g=g_l, w_scale=w_l,
             lambda_=jnp.asarray(lambda_, dtype=g_l.dtype), n_dof=n_dof,
+            gather_base=b6_l[0],
             axis_name="mesh" if use_mesh_axis else None,
         )
-        diag = assembly.scatter_diag(contrib_l, tris_l, n_dof // 2)
+        # Block-Jacobi diagonal via the shard-local gather table (the
+        # scatter-add equivalent serializes on TPU).
+        t_l, m_l = contrib_l.shape[0], contrib_l.shape[1]
+        flat = jnp.concatenate(
+            [contrib_l.reshape(t_l, m_l * 3, 4),
+             jnp.zeros((t_l, 1, 4), contrib_l.dtype)], axis=1)
+        diag = jnp.take(flat, b3_l[0], axis=1).sum(axis=2).reshape(
+            t_l, n_dof // 2, 2, 2)
         if use_mesh_axis:
             diag = jax.lax.psum(diag, "mesh")
         pre = invert_2x2_blocks(diag)
@@ -130,18 +177,19 @@ def sharded_compute_velocity_fields(
         mesh=device_mesh,
         in_specs=(
             P("mesh"),                     # dof (M, 6)
-            P("mesh"),                     # triangles (M, 3)
             P("mesh"),                     # blocks2 (M, 6, 6)
             P("mesh"),                     # w_scale (M,)
             P("frames", "mesh"),           # g (T, M, 3, 2)
             P("frames", "mesh"),           # diag contributions (T, M, 3, 2, 2)
             P("frames"),                   # f (T, 2N)
+            P("mesh"),                     # gather table (shards, N, C)
+            P("mesh"),                     # diag gather table (shards, N, C)
         ),
         out_specs=(P("frames"), P("frames"), P("frames"), P("frames")),
         check_vma=False,
     )
     x, iters, resid, conv = jax.jit(shard)(
-        dof, tris, blocks2, w_scale, g, contrib, f)
+        dof, blocks2, w_scale, g, contrib, f, base6, base3)
     return VelocityResult(
         v_k=x[:t], e=mesh.basis,
         iterations=jnp.max(iters), residual=resid[:t], converged=conv[:t])
