@@ -144,6 +144,17 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     return Streamlines(vertices=visited, lengths=lengths)
 
 
+@partial(jax.jit, static_argnames=("max_steps",))
+def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
+                 max_steps: int = 128) -> Streamlines:
+    """Trace all frames in one device program: (T, N, 3) -> batched walks.
+
+    One dispatch for the whole movie instead of one per frame — the per-call
+    latency of a remote accelerator (tens of ms) would otherwise dominate
+    the per-frame tracing cost."""
+    return jax.vmap(lambda v: trace(mesh, v, max_steps=max_steps))(v_world)
+
+
 def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
     """Host-side: masked walks -> list of coordinate polylines (S6:135-138)."""
     import numpy as np

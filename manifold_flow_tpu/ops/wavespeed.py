@@ -30,14 +30,21 @@ def vertex_gradients(mesh: TriMesh, movie: jnp.ndarray) -> jnp.ndarray:
     P1 triangle gradients over each vertex's incident cells
     (compute_grad_M_I, S5:136-171)."""
     tri = mesh.triangles
-    grad_m = jnp.einsum("tmc,mcd->tmd", movie[:, tri], mesh.grad_w)  # (T, M, 3)
-    weighted = grad_m * mesh.areas[None, :, None]
+    gw = mesh.grad_w.astype(movie.dtype)
+    areas = mesh.areas.astype(movie.dtype)
+    grad_m = jnp.einsum("tmc,mcd->tmd", movie[:, tri], gw)   # (T, M, 3)
+    weighted = grad_m * areas[None, :, None]
     t = movie.shape[0]
-    num = jnp.zeros((t, mesh.n_vertices, 3), dtype=movie.dtype)
-    den = jnp.zeros((mesh.n_vertices,), dtype=movie.dtype)
-    for c in range(3):
-        num = num.at[:, tri[:, c]].add(weighted)
-        den = den.at[tri[:, c]].add(mesh.areas)
+    m = tri.shape[0]
+    # Gather-mode reduction over each vertex's incident cells (a triangle
+    # incident to v contributes its gradient exactly once, matching the
+    # per-corner scatter in the reference; TPU scatter-add serializes).
+    idx = jnp.where(mesh.vertex_cells < 0, m, mesh.vertex_cells)  # (N, C)
+    wpad = jnp.concatenate(
+        [weighted, jnp.zeros((t, 1, 3), weighted.dtype)], axis=1)
+    num = jnp.take(wpad, idx, axis=1).sum(axis=2)            # (T, N, 3)
+    apad = jnp.concatenate([areas, jnp.zeros((1,), areas.dtype)])
+    den = jnp.take(apad, idx, axis=0).sum(axis=1)            # (N,)
     return num / jnp.where(den > 0, den, 1.0)[None, :, None]
 
 

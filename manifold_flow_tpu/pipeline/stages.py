@@ -265,11 +265,17 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     import jax.numpy as jnp
 
     v = np.asarray(v_world)
-    frames = range(v.shape[0]) if frames is None else frames
+    frames = list(range(v.shape[0])) if frames is None else list(frames)
+    # One device program traces every requested frame (per-frame dispatch
+    # would pay the remote-accelerator call latency per frame).
+    batched = stream_ops.trace_frames(
+        mesh, jnp.asarray(v[np.asarray(frames)]),
+        max_steps=config.analysis.max_streamline_steps)
+    verts = np.asarray(batched.vertices)
+    lens = np.asarray(batched.lengths)
     out = {}
-    for k in frames:
-        sl = stream_ops.trace(mesh, jnp.asarray(v[k]),
-                              max_steps=config.analysis.max_streamline_steps)
+    for i, k in enumerate(frames):
+        sl = stream_ops.Streamlines(vertices=verts[i], lengths=lens[i])
         lines = stream_ops.compact(
             mesh, sl, min_length=config.analysis.min_streamline_length)
         out[str(k)] = lines
