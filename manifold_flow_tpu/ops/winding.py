@@ -75,24 +75,72 @@ def ring_winding_number(uv: jnp.ndarray, vxy: jnp.ndarray,
     return jnp.sum(ang) / (2.0 * jnp.pi)
 
 
+def _signed_angle(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Signed angle u1 -> u2 for unit 2-vectors (..., 2), sign from the cross
+    product (angle_between_vectors, S7:59-74)."""
+    dot = jnp.clip(jnp.sum(u1 * u2, axis=-1), -1.0, 1.0)
+    ang = jnp.arccos(dot)
+    cross = u1[..., 0] * u2[..., 1] - u1[..., 1] * u2[..., 0]
+    return jnp.where(cross < 0, -ang, ang)
+
+
 @partial(jax.jit, static_argnames=("max_level",))
 def winding_profile(mesh: TriMesh, v_world_frame: jnp.ndarray,
                     center: jnp.ndarray, max_level: int = 25) -> jnp.ndarray:
     """Winding numbers (max_level,) for rings 1..max_level around `center`.
 
     `v_world_frame` is one frame's (N, 3) field; `center` a vertex index.
+
+    ONE argsort serves every ring: vertices sort by the composite key
+    (ring level, polar angle), which groups each ring contiguously in
+    anticlockwise order; per-ring sums of consecutive signed velocity-angle
+    differences (plus the circular closure term between each ring's last and
+    first member) then come from dense masked reductions. The naive
+    formulation (a full masked sort per ring — 25 sorts per singularity)
+    made winding analysis the slowest stage of the pipeline.
     """
+    n = mesh.points.shape[0]
+    dtype = v_world_frame.dtype
     levels = topology.bfs_levels(mesh.vertex_neighbors, center, max_level)
-    e1 = mesh.basis[center, 0]
-    e2 = mesh.basis[center, 1]
-    uv = position_diff_on_basis(mesh.points[center], mesh.points, e1, e2)
+    e1 = mesh.basis[center, 0].astype(dtype)
+    e2 = mesh.basis[center, 1].astype(dtype)
+    uv = position_diff_on_basis(mesh.points[center].astype(dtype),
+                                mesh.points.astype(dtype), e1, e2)
     vproj = project_to_plane(v_world_frame, e1, e2)
     vxy = express_on_basis(vproj, e1, e2)
 
-    def one_ring(level):
-        return ring_winding_number(uv, vxy, levels == level)
+    theta = jnp.arctan2(uv[:, 1], uv[:, 0])                   # (-pi, pi]
+    in_ring = (levels >= 1) & (levels <= max_level)
+    frac = (theta + jnp.pi) / (2.0 * jnp.pi + 1e-6)           # [0, 1)
+    key = jnp.where(in_ring, levels.astype(dtype) + frac,
+                    jnp.asarray(jnp.inf, dtype))
+    order = jnp.argsort(key)
+    lvl_s = jnp.where(in_ring, levels, -1)[order]             # (N,)
+    vs = vxy[order]
+    nrm = jnp.linalg.norm(vs, axis=-1, keepdims=True)
+    us = vs / jnp.where(nrm > 0, nrm, 1.0)
 
-    return jax.vmap(one_ring)(jnp.arange(1, max_level + 1))
+    # Consecutive pairs within the same ring.
+    pair_ang = _signed_angle(us[:-1], us[1:])                 # (N-1,)
+    same = (lvl_s[:-1] == lvl_s[1:]) & (lvl_s[:-1] >= 1)
+    pair_ang = jnp.where(same, pair_ang, 0.0)
+    ring_ids = jnp.arange(1, max_level + 1)
+    onehot_pair = (lvl_s[:-1][None, :] == ring_ids[:, None]).astype(dtype)
+    sums = onehot_pair @ pair_ang                             # (L,)
+
+    # Circular closure: last member -> first member of each ring.
+    pos = jnp.arange(n)
+    member = lvl_s[None, :] == ring_ids[:, None]              # (L, N)
+    big = jnp.asarray(n + 1, jnp.int32)
+    first = jnp.min(jnp.where(member, pos, big), axis=1)      # (L,)
+    last = jnp.max(jnp.where(member, pos, -1), axis=1)        # (L,)
+    count = member.sum(axis=1)
+    has = count >= 1
+    f = jnp.where(has, first, 0)
+    l = jnp.where(has, last, 0)
+    closure = _signed_angle(us[l], us[f])
+    closure = jnp.where(has & (count >= 2), closure, 0.0)
+    return (sums + closure) / (2.0 * jnp.pi)
 
 
 def _count_and_type(w: jnp.ndarray):

@@ -292,24 +292,42 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
     """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}."""
     import jax.numpy as jnp
 
-    winding_lines = {}
-    for t, pts in enumerate(singularity_points):
-        if len(pts) == 0:
-            continue
-        cap = len(pts)
-        res = wind_ops.analyze_singularities(
-            mesh, jnp.asarray(np.asarray(v_world)[t]),
-            jnp.asarray(np.asarray(pts, dtype=np.asarray(v_world).dtype)),
-            jnp.ones(cap, dtype=bool),
-            max_level=config.analysis.max_winding_level)
+    import jax
+
+    v = np.asarray(v_world)
+    n_frames = min(len(singularity_points), v.shape[0])
+    caps = [len(singularity_points[t]) for t in range(n_frames)]
+    smax = max(caps, default=0)
+    if smax == 0:
+        winding_lines = {}
+    else:
+        # One device program analyzes every frame at a common capacity
+        # (per-frame dispatch would both pay the remote-call latency per
+        # frame and recompile for each distinct singularity count).
+        pts_arr = np.zeros((n_frames, smax, 3), dtype=v.dtype)
+        valid = np.zeros((n_frames, smax), dtype=bool)
+        for t in range(n_frames):
+            if caps[t]:
+                pts_arr[t, : caps[t]] = np.asarray(singularity_points[t])
+                valid[t, : caps[t]] = True
+        res = jax.vmap(
+            lambda vf, p, m: wind_ops.analyze_singularities(
+                mesh, vf, p, m,
+                max_level=config.analysis.max_winding_level)
+        )(jnp.asarray(v[:n_frames]), jnp.asarray(pts_arr), jnp.asarray(valid))
         counts = np.asarray(res.counts)
         types = np.asarray(res.types)
-        rows = []
-        for i in range(cap):
-            if counts[i] == 0:
+        winding_lines = {}
+        for t in range(n_frames):
+            if caps[t] == 0:
                 continue
-            rows.append([np.asarray(pts[i]), int(counts[i]), int(types[i])])
-        winding_lines[str(t)] = rows
+            rows = []
+            for i in range(caps[t]):
+                if counts[t, i] == 0:
+                    continue
+                rows.append([pts_arr[t, i], int(counts[t, i]),
+                             int(types[t, i])])
+            winding_lines[str(t)] = rows
     if save_path is not None:
         io.ensure_dir(save_path)
         io.save_pickle(save_path, winding_lines)
