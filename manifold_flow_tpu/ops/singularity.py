@@ -238,6 +238,101 @@ def classify(mesh: TriMesh, v_world: jnp.ndarray, field: SingularityField):
     return classify_jacobian(jv), classify_jacobian(ji)
 
 
+class DetectedClasses(NamedTuple):
+    vertex_ids: jnp.ndarray     # (T, S) candidate vertex ids (compacted)
+    vertex_valid: jnp.ndarray   # (T, S) bool
+    vertex_codes: jnp.ndarray   # (T, S) class codes
+    interior_ids: jnp.ndarray   # (T, S) candidate triangle ids (compacted)
+    interior_valid: jnp.ndarray  # (T, S) bool
+    interior_codes: jnp.ndarray  # (T, S) class codes
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def classify_detected(mesh: TriMesh, v_world: jnp.ndarray,
+                      field: SingularityField,
+                      capacity: int = 64) -> DetectedClasses:
+    """Classify only the detected candidates, at fixed capacity per frame.
+
+    The reference classifies each detected singularity
+    (find_singularity_points_and_classify_for_all_Vk,
+    utils/find_singularity_point.py:561-605); computing Jacobians at every
+    vertex and triangle of every frame (`classify`) does ~N/S times more
+    work than needed. Candidates compact to the first `capacity` slots per
+    frame (choose capacity >= the per-frame maximum; pipeline.stages sizes
+    it from the detection masks).
+    """
+    t = v_world.shape[0]
+    t_col = jnp.arange(t)[:, None]
+    vn = v_world / field.v_max[:, None, None]
+
+    # ---- vertex candidates ----
+    order_v = jnp.argsort(~field.vertex_mask, axis=1, stable=True)
+    idx_v = order_v[:, :capacity]                            # (T, S)
+    valid_v = jnp.take_along_axis(field.vertex_mask, idx_v, axis=1)
+    nb = mesh.vertex_neighbors[idx_v]                        # (T, S, D)
+    nb_mask = (nb != PAD_INDEX) & valid_v[..., None]
+    nb_safe = jnp.where(nb_mask, nb, 0)
+    nb_points = mesh.points[nb_safe]                         # (T, S, D, 3)
+    nb_vel = vn[t_col[..., None], nb_safe]                   # (T, S, D, 3)
+    e_sel = mesh.basis[idx_v]                                # (T, S, 2, 3)
+    jv = _jacobian_from_neighbors(
+        mesh.points[idx_v][:, :, None], e_sel[:, :, None, 0],
+        e_sel[:, :, None, 1], nb_points, nb_vel, nb_mask)
+    codes_v = classify_jacobian(jv)
+
+    # ---- interior candidates ----
+    order_i = jnp.argsort(~field.interior_mask, axis=1, stable=True)
+    idx_i = order_i[:, :capacity]                            # (T, S)
+    valid_i = jnp.take_along_axis(field.interior_mask, idx_i, axis=1)
+    tri = mesh.triangles[idx_i]                              # (T, S, 3)
+    p = mesh.points[tri]                                     # (T, S, 3, 3)
+    nrm = jnp.cross(p[..., 1, :] - p[..., 0, :], p[..., 2, :] - p[..., 0, :])
+    nl = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nl > 0, nl, 1.0)
+    e = tangent_basis(nrm)                                   # (T, S, 2, 3)
+    pt = jnp.take_along_axis(field.interior_point, idx_i[..., None], axis=1)
+
+    def edge_dist(q, a, b):
+        ab = b - a
+        c = jnp.cross(q - a, ab)
+        return jnp.linalg.norm(c, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(ab, axis=-1), 1e-300)
+
+    d = jnp.stack([
+        edge_dist(pt, p[..., 0, :], p[..., 1, :]),
+        edge_dist(pt, p[..., 1, :], p[..., 2, :]),
+        edge_dist(pt, p[..., 2, :], p[..., 0, :]),
+    ], axis=-1)
+    nearest = jnp.argmin(d, axis=-1)                         # (T, S)
+    edge_corner = jnp.array([[0, 1], [1, 2], [2, 0]])
+    ca = jnp.take_along_axis(tri, edge_corner[nearest][..., 0:1], axis=-1)[..., 0]
+    cb = jnp.take_along_axis(tri, edge_corner[nearest][..., 1:2], axis=-1)[..., 0]
+
+    from manifold_flow_tpu.geometry.topology import other_cell_across_edge
+
+    other = jax.vmap(jax.vmap(
+        other_cell_across_edge, in_axes=(None, None, 0, 0, 0)),
+        in_axes=(None, None, 0, 0, 0))(
+            mesh.edges, mesh.edge_cells, idx_i, ca, cb)      # (T, S)
+    other_safe = jnp.where(other >= 0, other, idx_i)
+    nb_idx = jnp.concatenate([tri, mesh.triangles[other_safe]], axis=-1)
+    first = jnp.ones(nb_idx.shape, dtype=bool)
+    for i in range(1, 6):
+        dup = jnp.any(nb_idx[..., i:i + 1] == nb_idx[..., :i], axis=-1)
+        first = first.at[..., i].set(~dup)
+    first = first & valid_i[..., None]
+    nb_vel_i = vn[t_col[..., None], nb_idx]                  # (T, S, 6, 3)
+    nb_points_i = mesh.points[nb_idx]
+    ji = _jacobian_from_neighbors(
+        pt[:, :, None], e[:, :, None, 0], e[:, :, None, 1],
+        nb_points_i, nb_vel_i, first)
+    codes_i = classify_jacobian(ji)
+
+    return DetectedClasses(
+        vertex_ids=idx_v, vertex_valid=valid_v, vertex_codes=codes_v,
+        interior_ids=idx_i, interior_valid=valid_i, interior_codes=codes_i)
+
+
 def compact_frame(mesh: TriMesh, field: SingularityField, frame: int):
     """Host-side: one frame's masked arrays -> reference-style lists.
 

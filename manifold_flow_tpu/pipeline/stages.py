@@ -195,21 +195,38 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
 
     v = jnp.asarray(v_world)
     field = sing_ops.detect(mesh, v, eps=config.solver.eps)
-    labels_all = None
     if classify:
-        codes_v, codes_i = sing_ops.classify(mesh, v, field)
-        codes_v = np.asarray(codes_v)
-        codes_i = np.asarray(codes_i)
+        # Classify only the detected candidates: size the fixed capacity
+        # from the detection masks (host-side) instead of computing
+        # Jacobians at every vertex/triangle of every frame.
+        vm = np.asarray(field.vertex_mask)
+        im = np.asarray(field.interior_mask)
+        cap = max(int(vm.sum(axis=1).max()), int(im.sum(axis=1).max()), 1)
+        cap = -(-cap // 8) * 8
+        det = sing_ops.classify_detected(mesh, v, field, capacity=cap)
+        code_maps = []
+        for k in range(v.shape[0]):
+            cm = {}
+            for ids, valid, codes, kind in (
+                    (det.vertex_ids, det.vertex_valid, det.vertex_codes,
+                     "vertex"),
+                    (det.interior_ids, det.interior_valid,
+                     det.interior_codes, "interior")):
+                row_ids = np.asarray(ids[k])
+                row_ok = np.asarray(valid[k])
+                row_codes = np.asarray(codes[k])
+                for i in range(row_ids.shape[0]):
+                    if row_ok[i]:
+                        cm[(kind, int(row_ids[i]))] = int(row_codes[i])
+            code_maps.append(cm)
     points_per_frame = []
     labels_per_frame = []
     for k in range(v.shape[0]):
         pts, kinds, ids = sing_ops.compact_frame(mesh, field, k)
         points_per_frame.append(pts)
         if classify:
-            lab = []
-            for kind, idx in zip(kinds, ids):
-                code = codes_v[k, idx] if kind == "vertex" else codes_i[k, idx]
-                lab.append(sing_ops.CLASS_NAMES[code])
+            lab = [sing_ops.CLASS_NAMES[code_maps[k][(kind, int(idx))]]
+                   for kind, idx in zip(kinds, ids)]
             labels_per_frame.append(lab)
     if save_path is not None:
         io.ensure_dir(save_path)

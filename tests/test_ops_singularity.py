@@ -118,3 +118,39 @@ def test_classify_two_source_centers_are_nodes():
             continue
         i = cand[np.argmin(np.linalg.norm(pts[cand] - t, axis=-1))]
         assert singularity.CLASS_NAMES[cv[i]] in ("Node", "Focus")
+
+
+def test_classify_detected_matches_full():
+    """Candidate-compacted classification equals the dense path at every
+    detected candidate."""
+    import jax.numpy as jnp
+
+    from manifold_flow_tpu.geometry import synthetic
+    from manifold_flow_tpu.ops import singularity
+
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.5 * np.sin(x) * np.cos(y))
+    pot, times, _ = synthetic.two_source_movie(mesh, n_frames=5)
+    from manifold_flow_tpu.solve.api import compute_velocity_fields
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+    res = compute_velocity_fields(mesh, jnp.asarray(pot), jnp.asarray(times),
+                                  method="cg", tol=1e-10)
+    v3 = velocity_to_world(res.v_k, res.e)
+    field = singularity.detect(mesh, v3, eps=0.02)
+    codes_v, codes_i = singularity.classify(mesh, v3, field)
+    det = singularity.classify_detected(mesh, v3, field, capacity=64)
+    cv, ci = np.asarray(codes_v), np.asarray(codes_i)
+    for k in range(v3.shape[0]):
+        for ids, valid, codes, dense in (
+                (det.vertex_ids, det.vertex_valid, det.vertex_codes, cv),
+                (det.interior_ids, det.interior_valid, det.interior_codes,
+                 ci)):
+            row = np.asarray(valid[k])
+            for i in np.where(row)[0]:
+                assert int(np.asarray(codes[k, i])) == int(
+                    dense[k, int(np.asarray(ids[k, i]))])
+    # Every detected candidate is covered at this capacity.
+    assert int(np.asarray(field.vertex_mask).sum(axis=1).max()) <= 64
+    assert int(np.asarray(field.interior_mask).sum(axis=1).max()) <= 64
