@@ -85,6 +85,42 @@ def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel):
     return inside & (orient != 0)
 
 
+def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray):
+    """Per-vertex next-hop candidate and static advance mask for one frame.
+
+    The walk rule (S6:51-138) chooses the next vertex from the CURRENT vertex
+    and its local velocity only — the walk history enters solely through the
+    no-revisit check. So the candidate `next[v]` and every static condition
+    (positive dot, interior/boundary triangle tests) can be computed ONCE for
+    all N vertices, vectorized; the scan then just chases pointers.
+    """
+    e1 = mesh.basis[:, 0]                                  # (N, 3)
+    e2 = mesh.basis[:, 1]
+    nb = mesh.vertex_neighbors                             # (N, D)
+    nb_mask = nb != PAD_INDEX
+    nb_safe = jnp.where(nb_mask, nb, 0)
+    vec = mesh.points[nb_safe] - mesh.points[:, None]      # (N, D, 3)
+    proj = project_to_plane(vec, e1[:, None], e2[:, None])
+    nrm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    unit = proj / jnp.where(nrm > 0, nrm, 1.0)
+    dots = jnp.sum(unit * vel[:, None], axis=-1)           # (N, D)
+    dots = jnp.where(nb_mask, dots, -jnp.inf)
+    idx = jnp.argmax(dots, axis=-1)                        # (N,)
+    cand = jnp.take_along_axis(nb_safe, idx[:, None], axis=-1)[:, 0]
+    dmax = jnp.take_along_axis(dots, idx[:, None], axis=-1)[:, 0]
+
+    interior = mesh.vertex_cell_count >= 6                 # (N,)
+    count, cell = jax.vmap(_shared_cells)(
+        mesh.vertex_cells, mesh.vertex_cells[cand])
+    tri_ok = jax.vmap(_boundary_triangle_test,
+                      in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        mesh, jnp.arange(mesh.n_vertices, dtype=cand.dtype), cand,
+        jnp.maximum(cell, 0), e1, e2, vel)
+    advance_ok = (dmax > 0) & (
+        interior | (count >= 2) | (tri_ok & (cell != PAD_INDEX)))
+    return cand.astype(jnp.int32), advance_ok
+
+
 @partial(jax.jit, static_argnames=("max_steps",))
 def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
           max_steps: int = 128) -> Streamlines:
@@ -96,36 +132,12 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     n = mesh.n_vertices
     seeds = jnp.arange(n, dtype=jnp.int32)
     vel = v_world_frame
+    next_tab, ok_tab = _next_hop_tables(mesh, vel)
 
     def step_one(state, _):
         cur, visited, length, alive, slot = state
-        e1 = mesh.basis[cur, 0]
-        e2 = mesh.basis[cur, 1]
-        nb = mesh.vertex_neighbors[cur]                    # (D,)
-        nb_mask = nb != PAD_INDEX
-        nb_safe = jnp.where(nb_mask, nb, 0)
-        vec = mesh.points[nb_safe] - mesh.points[cur]
-        proj = project_to_plane(vec, e1, e2)
-        nrm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
-        unit = proj / jnp.where(nrm > 0, nrm, 1.0)
-        dots = jnp.sum(unit * vel[cur], axis=-1)
-        dots = jnp.where(nb_mask, dots, -jnp.inf)
-        idx = jnp.argmax(dots)
-        cand = nb_safe[idx]
-        dmax = dots[idx]
-
-        not_visited = jnp.all(visited != cand)
-        base_ok = (dmax > 0) & not_visited
-
-        interior = mesh.vertex_cell_count[cur] >= 6
-        count, cell = _shared_cells(
-            mesh.vertex_cells[cur], mesh.vertex_cells[cand])
-        tri_ok = _boundary_triangle_test(
-            mesh, cur, cand, jnp.maximum(cell, 0), e1, e2, vel[cur])
-        boundary_ok = jnp.where(count >= 2, base_ok,
-                                base_ok & tri_ok & (cell != PAD_INDEX))
-        ok = alive & jnp.where(interior, base_ok, boundary_ok)
-
+        cand = next_tab[cur]
+        ok = alive & ok_tab[cur] & jnp.all(visited != cand)
         new_cur = jnp.where(ok, cand, cur)
         visited = visited.at[slot].set(jnp.where(ok, cand, PAD_INDEX))
         return (new_cur, visited, length + ok.astype(length.dtype), ok,
