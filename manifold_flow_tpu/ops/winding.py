@@ -165,21 +165,40 @@ def scale_map(mesh: TriMesh, singularity_points, counts) -> jnp.ndarray:
     neighbor ring (k = 1..counts[i]) gets counts[i] - (k - 1). Later
     singularities overwrite earlier ones on overlap, as in the reference's
     sequential assignment.
+
+    One device program for the whole list: the BFS vmaps over centers, each
+    singularity's candidate values form one row of a (S, N) array, and the
+    sequential-overwrite rule becomes a per-vertex "last nonzero row wins"
+    select (per-singularity dispatch would pay the remote-call latency S
+    times over).
     """
     pts = jnp.asarray(singularity_points)
-    centers = topology.closest_vertex(mesh.points, pts)
-    scale = jnp.zeros((mesh.n_vertices,), dtype=jnp.float32)
     counts = jnp.asarray(counts)
-    max_count = int(jnp.max(counts)) if counts.size else 0
-    for i in range(pts.shape[0]):
-        c = counts[i]
-        levels = topology.bfs_levels(mesh.vertex_neighbors, centers[i],
-                                     max(max_count, 1))
-        ring = jnp.where((levels >= 1) & (levels <= c),
-                         (c - (levels - 1)).astype(jnp.float32), 0.0)
-        scale = jnp.where(ring > 0, ring, scale)
-        scale = scale.at[centers[i]].set((c + 1).astype(jnp.float32))
-    return scale
+    if pts.shape[0] == 0:
+        return jnp.zeros((mesh.n_vertices,), dtype=jnp.float32)
+    max_count = max(int(jnp.max(counts)), 1)  # one host sync, sizes the BFS
+
+    @partial(jax.jit, static_argnames=("max_level",))
+    def _all_values(points_q, cnts, max_level):
+        centers = topology.closest_vertex(mesh.points, points_q)
+        levels = jax.vmap(
+            lambda c: topology.bfs_levels(mesh.vertex_neighbors, c,
+                                          max_level))(centers)   # (S, N)
+        c = cnts[:, None].astype(jnp.float32)
+        ring = jnp.where((levels >= 1) & (levels <= cnts[:, None]),
+                         c - (levels.astype(jnp.float32) - 1.0), 0.0)
+        vals = jax.vmap(lambda row, ctr, cc: row.at[ctr].set(cc + 1.0))(
+            ring, centers, cnts.astype(jnp.float32))             # (S, N)
+        # Last singularity whose value is nonzero wins (the reference's
+        # sequential overwrite); argmax of the row index among nonzero rows.
+        s = vals.shape[0]
+        written = vals != 0.0
+        last = jnp.argmax(
+            jnp.where(written, jnp.arange(s)[:, None], -1), axis=0)  # (N,)
+        out = jnp.take_along_axis(vals, last[None, :], axis=0)[0]
+        return jnp.where(jnp.any(written, axis=0), out, 0.0)
+
+    return _all_values(pts, counts, max_count)
 
 
 @partial(jax.jit, static_argnames=("max_level",))

@@ -22,6 +22,11 @@ class SolverConfig:
     method: str = "auto"           # 'auto' | 'cg' | 'cholesky' | 'refined'
     tol: float = 1e-8
     max_iter: int = 2000
+    # Frames that fail `tol` at max_iter are re-solved with the refined
+    # (two-float32, direct-solver-accuracy) method before warning; set False
+    # to only warn. Silent non-convergence would quietly corrupt every
+    # downstream artifact (singularities, streamlines, winding lines).
+    escalate: bool = True
     # the reference's processes_num (config.yaml:6) maps to device counts:
     n_frame_shards: Optional[int] = None
     n_mesh_shards: int = 1

@@ -19,6 +19,7 @@ Stage map (SURVEY.md §2):
 
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -136,6 +137,10 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
     return out
 
 
+class ConvergenceWarning(UserWarning):
+    """A velocity-solve frame failed its residual tolerance."""
+
+
 # ------------------------------------------------------------------- S3 ----
 class VelocityStage(NamedTuple):
     v_k: np.ndarray        # (T-1, 2N)
@@ -149,23 +154,62 @@ class VelocityStage(NamedTuple):
 def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                    e_path=None, v_k_path=None, speed_path=None,
                    device_mesh=None) -> VelocityStage:
-    """S3 core: velocity fields + recombination + speed map (+ artifacts)."""
+    """S3 core: velocity fields + recombination + speed map (+ artifacts).
+
+    Non-convergence is loud: any frame still above `tol` at `max_iter` is
+    reported by index and residual via warnings.warn, and (solver.escalate,
+    default on) the movie is re-solved with the refined two-float32 method —
+    one bad frame would otherwise quietly corrupt every downstream artifact.
+    """
     import jax.numpy as jnp
 
-    if device_mesh is not None:
-        from manifold_flow_tpu.parallel import sharded_compute_velocity_fields
+    def run(method):
+        if device_mesh is not None:
+            from manifold_flow_tpu.parallel import (
+                sharded_compute_velocity_fields)
 
-        res = sharded_compute_velocity_fields(
-            mesh, jnp.asarray(potentials), jnp.asarray(times), device_mesh,
-            lambda_=config.solver.lambda_, tol=config.solver.tol,
-            max_iter=config.solver.max_iter,
-            method=("refined" if config.solver.method == "refined"
-                    else "cg"))
-    else:
-        res = compute_velocity_fields(
+            return sharded_compute_velocity_fields(
+                mesh, jnp.asarray(potentials), jnp.asarray(times),
+                device_mesh, lambda_=config.solver.lambda_,
+                tol=config.solver.tol, max_iter=config.solver.max_iter,
+                method=("refined" if method == "refined" else "cg"))
+        return compute_velocity_fields(
             mesh, jnp.asarray(potentials), jnp.asarray(times),
-            lambda_=config.solver.lambda_, method=config.solver.method,
+            lambda_=config.solver.lambda_, method=method,
             tol=config.solver.tol, max_iter=config.solver.max_iter)
+
+    res = run(config.solver.method)
+    conv = np.asarray(res.converged)
+    if not conv.all():
+        bad = np.where(~conv)[0]
+        resid = np.asarray(res.residual)[bad]
+        detail = ", ".join(
+            f"frame {int(k)}: |r|={r:.3e}" for k, r in zip(bad[:8], resid[:8]))
+        if len(bad) > 8:
+            detail += f", ... ({len(bad)} frames total)"
+        can_escalate = (
+            config.solver.escalate
+            and config.solver.method not in ("refined", "cholesky")
+            and jnp.asarray(potentials).dtype == jnp.float64
+            and (device_mesh is None or device_mesh.shape.get("mesh", 1) == 1))
+        if can_escalate:
+            warnings.warn(
+                f"velocity solve failed tol={config.solver.tol} on "
+                f"{len(bad)} frame(s) [{detail}]; escalating to the refined "
+                "two-float32 solver", ConvergenceWarning, stacklevel=2)
+            res = run("refined")
+            conv = np.asarray(res.converged)
+        if not conv.all():
+            bad = np.where(~conv)[0]
+            resid = np.asarray(res.residual)[bad]
+            detail = ", ".join(
+                f"frame {int(k)}: |r|={r:.3e}"
+                for k, r in zip(bad[:8], resid[:8]))
+            warnings.warn(
+                f"velocity solve NOT converged to tol={config.solver.tol} on "
+                f"{len(bad)} frame(s) [{detail}]; downstream singularity/"
+                "streamline/winding artifacts may be unreliable — raise "
+                "max_iter or loosen tol", ConvergenceWarning, stacklevel=2)
     v_world = velocity_to_world(res.v_k, mesh.basis)
     speed = world_speed(v_world)
     if e_path is not None:

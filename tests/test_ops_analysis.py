@@ -274,3 +274,32 @@ def test_winding_scale_map(small_mesh):
     ring1 = np.asarray(small_mesh.vertex_neighbors[40])
     ring1 = ring1[ring1 >= 0]
     assert np.all(s[ring1] >= 1.0)
+
+
+def test_winding_scale_map_matches_sequential(small_mesh):
+    """The batched scale_map equals the reference's sequential overwrite
+    loop (S7:167-183) on overlapping singularities."""
+    import numpy as np
+    from manifold_flow_tpu.geometry import topology
+    from manifold_flow_tpu.ops import winding
+
+    pts_all = np.asarray(small_mesh.points)
+    centers = [40, 41, 90, 40]          # overlapping rings + repeated center
+    counts = np.array([3, 2, 1, 0])
+    pts = pts_all[centers]
+
+    # Sequential oracle (the reference's loop order: center, then rings).
+    levels = np.stack([
+        np.asarray(topology.bfs_levels(
+            small_mesh.vertex_neighbors, np.int32(c), 3)) for c in centers])
+    want = np.zeros(pts_all.shape[0])
+    for i, c in enumerate(centers):
+        want[c] = counts[i] + 1
+        ring = (levels[i] >= 1) & (levels[i] <= counts[i])
+        want[ring] = counts[i] - (levels[i][ring] - 1)
+    got = np.asarray(winding.scale_map(small_mesh, pts, counts))
+    np.testing.assert_allclose(got, want)
+    # Empty list: all zeros, no device dispatch needed.
+    empty = np.asarray(winding.scale_map(
+        small_mesh, np.zeros((0, 3)), np.zeros((0,), dtype=np.int32)))
+    assert not empty.any()
