@@ -126,6 +126,39 @@ def _jacobian_from_neighbors(origin, e1, e2, nb_points, nb_vel, nb_mask):
     return jnp.sum(contrib, axis=-3)                       # (..., 2, 2)
 
 
+def _nearest_edge(pt, pa, pb, pc, quirks: bool = False):
+    """Index (0: AB, 1: BC, 2: CA) of the edge used for the across-edge
+    neighbor triangle of an interior critical point at `pt`.
+
+    quirks=False (default): true point-to-line distances, argmin over the 3
+    edges. quirks=True: the reference's find_nearest_edge_and_vertices
+    (utils/find_singularity_point.py:318-351), which builds the 3x3 array of
+    |cross(P-A, B-A)| / |B-A| COMPONENT vectors, argmins over all 9 scalars,
+    and maps the flat component index through {0: AB, 1: BC, else: CA} — so
+    it selects AB/BC only when the very first/second component happens to be
+    the global minimum, and CA otherwise. Reproduced for artifact parity.
+    """
+    def safe_norm(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return jnp.maximum(n, 1e-300)
+
+    if not quirks:
+        def edge_dist(q, a, b):
+            ab = b - a
+            c = jnp.cross(q - a, ab)
+            return jnp.linalg.norm(c, axis=-1) / safe_norm(ab)[..., 0]
+
+        d = jnp.stack([edge_dist(pt, pa, pb), edge_dist(pt, pb, pc),
+                       edge_dist(pt, pc, pa)], axis=-1)
+        return jnp.argmin(d, axis=-1)
+    c1 = jnp.cross(pt - pa, pb - pa) / safe_norm(pb - pa)
+    c2 = jnp.cross(pt - pb, pc - pb) / safe_norm(pc - pb)
+    c3 = jnp.cross(pt - pc, pa - pc) / safe_norm(pa - pc)
+    d9 = jnp.abs(jnp.concatenate([c1, c2, c3], axis=-1))   # (..., 9)
+    flat = jnp.argmin(d9, axis=-1)
+    return jnp.where(flat == 0, 0, jnp.where(flat == 1, 1, 2))
+
+
 def classify_jacobian(jac: jnp.ndarray) -> jnp.ndarray:
     """Trace/determinant classification -> codes (NODE/FOCUS/SADDLE/INDET)."""
     tr = jac[..., 0, 0] + jac[..., 1, 1]
@@ -155,9 +188,10 @@ def vertex_jacobians(mesh: TriMesh, v_world: jnp.ndarray,
         origin, e1, e2, nb_points[None], nb_vel, nb_mask[None])
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("quirks",))
 def interior_jacobians(mesh: TriMesh, v_world: jnp.ndarray, v_max: jnp.ndarray,
-                       interior_point: jnp.ndarray) -> jnp.ndarray:
+                       interior_point: jnp.ndarray,
+                       quirks: bool = False) -> jnp.ndarray:
     """2x2 Jacobians (T, M, 2, 2) for triangle-interior critical points.
 
     Mirrors compute_jacobian_matrix_for_interior
@@ -165,10 +199,9 @@ def interior_jacobians(mesh: TriMesh, v_world: jnp.ndarray, v_max: jnp.ndarray,
     triangle normal; the neighbor set is the triangle's corners plus the
     corners of the neighbor triangle across the edge nearest to the critical
     point. Deviations from the reference, both deliberate:
-      * nearest edge uses true point-to-edge distances (the reference's
-        `find_nearest_edge_and_vertices` (:318-351) argmins over the *3x3
-        component array* of vector cross products, which almost always picks
-        edge (C, A));
+      * nearest edge uses true point-to-edge distances by default
+        (quirks=True reproduces the reference's flat-component argmin,
+        see _nearest_edge);
       * the across-edge neighbor is the unique edge-adjacent triangle (the
         reference pops an arbitrary member of a VTK line-intersection set).
     """
@@ -180,20 +213,9 @@ def interior_jacobians(mesh: TriMesh, v_world: jnp.ndarray, v_max: jnp.ndarray,
         jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1.0)
     e = tangent_basis(nrm)                                 # (M, 2, 3)
 
-    # Nearest edge to the interior point: edges (0:AB, 1:BC, 2:CA).
-    def edge_dist(pt, a, b):
-        ab = b - a
-        t = jnp.cross(pt - a, ab)
-        return jnp.linalg.norm(t, axis=-1) / jnp.maximum(
-            jnp.linalg.norm(ab, axis=-1), 1e-300)
-
     pt = interior_point                                    # (T, M, 3)
-    d = jnp.stack([
-        edge_dist(pt, p[None, :, 0], p[None, :, 1]),
-        edge_dist(pt, p[None, :, 1], p[None, :, 2]),
-        edge_dist(pt, p[None, :, 2], p[None, :, 0]),
-    ], axis=-1)                                            # (T, M, 3)
-    nearest = jnp.argmin(d, axis=-1)                       # (T, M)
+    nearest = _nearest_edge(pt, p[None, :, 0], p[None, :, 1],
+                            p[None, :, 2], quirks=quirks)  # (T, M)
     edge_corner = jnp.array([[0, 1], [1, 2], [2, 0]])
     ca = jnp.take_along_axis(
         tri[None], edge_corner[nearest][..., 0:1], axis=-1)[..., 0]
@@ -231,10 +253,12 @@ def interior_jacobians(mesh: TriMesh, v_world: jnp.ndarray, v_max: jnp.ndarray,
         pt[:, :, None], e1, e2, nb_points, nb_vel, first_occurrence)
 
 
-def classify(mesh: TriMesh, v_world: jnp.ndarray, field: SingularityField):
+def classify(mesh: TriMesh, v_world: jnp.ndarray, field: SingularityField,
+             quirks: bool = False):
     """Classification codes for vertex (T, N) and interior (T, M) candidates."""
     jv = vertex_jacobians(mesh, v_world, field.v_max)
-    ji = interior_jacobians(mesh, v_world, field.v_max, field.interior_point)
+    ji = interior_jacobians(mesh, v_world, field.v_max, field.interior_point,
+                            quirks=quirks)
     return classify_jacobian(jv), classify_jacobian(ji)
 
 
@@ -247,10 +271,11 @@ class DetectedClasses(NamedTuple):
     interior_codes: jnp.ndarray  # (T, S) class codes
 
 
-@partial(jax.jit, static_argnames=("capacity",))
+@partial(jax.jit, static_argnames=("capacity", "quirks"))
 def classify_detected(mesh: TriMesh, v_world: jnp.ndarray,
                       field: SingularityField,
-                      capacity: int = 64) -> DetectedClasses:
+                      capacity: int = 64,
+                      quirks: bool = False) -> DetectedClasses:
     """Classify only the detected candidates, at fixed capacity per frame.
 
     The reference classifies each detected singularity
@@ -292,18 +317,8 @@ def classify_detected(mesh: TriMesh, v_world: jnp.ndarray,
     e = tangent_basis(nrm)                                   # (T, S, 2, 3)
     pt = jnp.take_along_axis(field.interior_point, idx_i[..., None], axis=1)
 
-    def edge_dist(q, a, b):
-        ab = b - a
-        c = jnp.cross(q - a, ab)
-        return jnp.linalg.norm(c, axis=-1) / jnp.maximum(
-            jnp.linalg.norm(ab, axis=-1), 1e-300)
-
-    d = jnp.stack([
-        edge_dist(pt, p[..., 0, :], p[..., 1, :]),
-        edge_dist(pt, p[..., 1, :], p[..., 2, :]),
-        edge_dist(pt, p[..., 2, :], p[..., 0, :]),
-    ], axis=-1)
-    nearest = jnp.argmin(d, axis=-1)                         # (T, S)
+    nearest = _nearest_edge(pt, p[..., 0, :], p[..., 1, :], p[..., 2, :],
+                            quirks=quirks)                   # (T, S)
     edge_corner = jnp.array([[0, 1], [1, 2], [2, 0]])
     ca = jnp.take_along_axis(tri, edge_corner[nearest][..., 0:1], axis=-1)[..., 0]
     cb = jnp.take_along_axis(tri, edge_corner[nearest][..., 1:2], axis=-1)[..., 0]

@@ -19,7 +19,10 @@ Deviation (documented, deliberate): the reference's single-shared-cell test
 passes vertex *indices* where coordinates are expected and reverses one
 argument pair (S6:115-117), producing numerically meaningless (though
 deterministic) triangle coordinates; we implement the intended geometry
-(B - A and C - A expressed in the tangent basis).
+(B - A and C - A expressed in the tangent basis) by default. Passing
+`quirks=True` (config `reference_quirks`) reproduces the reference's
+index-arithmetic bit-for-bit so S6 artifacts can be cross-validated against
+reference outputs.
 """
 
 from __future__ import annotations
@@ -62,15 +65,37 @@ def _shared_cells(cells_a, cells_b):
     return count, first
 
 
-def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel):
-    """Single-shared-cell orientation test (S6:100-133, intended geometry)."""
+def _scalar_posdiff(s, e1, e2):
+    """position_diff_on_basis_with_origin evaluated on SCALAR args — the
+    reference's single-shared-cell bug (S6:115-117) passes vertex indices
+    where coordinates are expected, so B_relative = B - A is a scalar and
+    numpy broadcasting yields proj = s - s * n^2 / |n|^2 elementwise."""
+    n = jnp.cross(e1, e2)
+    proj = s - s * (n * n) / jnp.sum(n * n)
+    return jnp.stack([jnp.sum(proj * e1), jnp.sum(proj * e2)])
+
+
+def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel,
+                            quirks: bool = False):
+    """Single-shared-cell orientation test (S6:100-133).
+
+    quirks=False: the intended geometry (corner coordinate differences on
+    the tangent basis). quirks=True: the reference's exact index arithmetic
+    (vertex ids fed to position_diff_on_basis_with_origin, and the reversed
+    (C, A) argument pair), reproduced for artifact parity.
+    """
     tri = mesh.triangles[cell]
     # Reorder so A == cur (the reference's corner swap, S6:103-113).
     a = cur
     b = jnp.where(tri[0] == cur, tri[1], jnp.where(tri[1] == cur, tri[0], tri[1]))
     c = jnp.where(tri[2] == cur, tri[0], tri[2])
-    p1 = position_diff_on_basis(mesh.points[a], mesh.points[b], e1, e2)
-    p2 = position_diff_on_basis(mesh.points[a], mesh.points[c], e1, e2)
+    if quirks:
+        dt = e1.dtype
+        p1 = _scalar_posdiff((b - a).astype(dt), e1, e2)
+        p2 = _scalar_posdiff((a - c).astype(dt), e1, e2)
+    else:
+        p1 = position_diff_on_basis(mesh.points[a], mesh.points[b], e1, e2)
+        p2 = position_diff_on_basis(mesh.points[a], mesh.points[c], e1, e2)
     orient = _cross2(p1, p2)
     # Counter-clockwise order (clockwise(), S6:204-219); collinear -> reject.
     pb = jnp.where(orient >= 0, p1, p2)
@@ -85,7 +110,7 @@ def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel):
     return inside & (orient != 0)
 
 
-def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray):
+def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
     """Per-vertex next-hop candidate and static advance mask for one frame.
 
     The walk rule (S6:51-138) chooses the next vertex from the CURRENT vertex
@@ -112,7 +137,7 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray):
     interior = mesh.vertex_cell_count >= 6                 # (N,)
     count, cell = jax.vmap(_shared_cells)(
         mesh.vertex_cells, mesh.vertex_cells[cand])
-    tri_ok = jax.vmap(_boundary_triangle_test,
+    tri_ok = jax.vmap(partial(_boundary_triangle_test, quirks=quirks),
                       in_axes=(None, 0, 0, 0, 0, 0, 0))(
         mesh, jnp.arange(mesh.n_vertices, dtype=cand.dtype), cand,
         jnp.maximum(cell, 0), e1, e2, vel)
@@ -121,18 +146,19 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray):
     return cand.astype(jnp.int32), advance_ok
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
-          max_steps: int = 128) -> Streamlines:
+          max_steps: int = 128, quirks: bool = False) -> Streamlines:
     """Trace one streamline from every vertex of the mesh for one frame.
 
     Seeds with zero velocity produce length-1 streamlines (the caller filters
-    by min length, matching S6:29 + S6:135-138).
+    by min length, matching S6:29 + S6:135-138). `quirks` reproduces the
+    reference's single-shared-cell index bug (module docstring).
     """
     n = mesh.n_vertices
     seeds = jnp.arange(n, dtype=jnp.int32)
     vel = v_world_frame
-    next_tab, ok_tab = _next_hop_tables(mesh, vel)
+    next_tab, ok_tab = _next_hop_tables(mesh, vel, quirks=quirks)
 
     def step_one(state, _):
         cur, visited, length, alive, slot = state
@@ -156,15 +182,16 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     return Streamlines(vertices=visited, lengths=lengths)
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
-                 max_steps: int = 128) -> Streamlines:
+                 max_steps: int = 128, quirks: bool = False) -> Streamlines:
     """Trace all frames in one device program: (T, N, 3) -> batched walks.
 
     One dispatch for the whole movie instead of one per frame — the per-call
     latency of a remote accelerator (tens of ms) would otherwise dominate
     the per-frame tracing cost."""
-    return jax.vmap(lambda v: trace(mesh, v, max_steps=max_steps))(v_world)
+    return jax.vmap(
+        lambda v: trace(mesh, v, max_steps=max_steps, quirks=quirks))(v_world)
 
 
 def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):

@@ -88,6 +88,17 @@ class SubjectConfig:
 
 @dataclasses.dataclass
 class PipelineConfig:
+    # Opt-in bit-parity with three reference quirks that are fixed by
+    # default (each is a documented accident in the original code):
+    #   * phases stage runs Hilbert over scipy's default axis=-1, the
+    #     ELECTRODE axis (S2_interpolate_phases.py:66) instead of time;
+    #   * streamline single-shared-cell test feeds vertex INDICES to the
+    #     coordinate geometry (S6_streamline.py:115-117);
+    #   * interior-Jacobian nearest-edge picks by flat component argmin
+    #     (utils/find_singularity_point.py:318-351).
+    # With True, S2-phases / S3-classification / S6 artifacts match the
+    # reference's outputs exactly.
+    reference_quirks: bool = False
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     preprocess: PreprocessConfig = dataclasses.field(
         default_factory=PreprocessConfig)
@@ -128,6 +139,8 @@ class PipelineConfig:
         if "processes_num" in gen:
             # Reference pool size; informational only on TPU.
             cfg.solver.n_frame_shards = None
+        if "reference_quirks" in gen:
+            cfg.reference_quirks = bool(gen["reference_quirks"])
         for section, obj in [("preprocess", cfg.preprocess),
                              ("interpolation", cfg.interpolation),
                              ("reconstruction", cfg.reconstruction),
@@ -164,7 +177,8 @@ class PipelineConfig:
             return x
 
         doc = {
-            "general": clean(self.solver),
+            "general": {**clean(self.solver),
+                        "reference_quirks": self.reference_quirks},
             "preprocess": clean(self.preprocess),
             "interpolation": clean(self.interpolation),
             "reconstruction": clean(self.reconstruction),

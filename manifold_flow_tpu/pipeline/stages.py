@@ -108,6 +108,11 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
     electrode, interpolate e^{i phi}, return the angle of the interpolant.
     When `sfreq` is given, the movie is windowed to
     [start_time, end_time) seconds (S2_interpolate.py:19-20,109-110).
+
+    Hilbert axis: the default transforms along TIME (axis=0, the standard
+    instantaneous-phase construction). The reference calls scipy's hilbert
+    with its default axis=-1 — across ELECTRODES (S2_interpolate_phases.py:66);
+    config.reference_quirks reproduces that for artifact parity.
     """
     import jax.numpy as jnp
 
@@ -117,8 +122,9 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
         e = int(config.interpolation.end_time * sfreq)
         data = data[s:e]
     if phases:
+        hilbert_axis = -1 if config.reference_quirks else 0
         phi = np.asarray(phase_ops.instantaneous_phase(
-            jnp.asarray(np.asarray(electrode_data)), axis=0))
+            jnp.asarray(np.asarray(electrode_data)), axis=hilbert_axis))
         if sfreq is not None:
             s = int(config.interpolation.start_time * sfreq)
             e = int(config.interpolation.end_time * sfreq)
@@ -247,7 +253,8 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         im = np.asarray(field.interior_mask)
         cap = max(int(vm.sum(axis=1).max()), int(im.sum(axis=1).max()), 1)
         cap = -(-cap // 8) * 8
-        det = sing_ops.classify_detected(mesh, v, field, capacity=cap)
+        det = sing_ops.classify_detected(mesh, v, field, capacity=cap,
+                                         quirks=config.reference_quirks)
         code_maps = []
         for k in range(v.shape[0]):
             cm = {}
@@ -331,7 +338,8 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     # would pay the remote-accelerator call latency per frame).
     batched = stream_ops.trace_frames(
         mesh, jnp.asarray(v[np.asarray(frames)]),
-        max_steps=config.analysis.max_streamline_steps)
+        max_steps=config.analysis.max_streamline_steps,
+        quirks=config.reference_quirks)
     verts = np.asarray(batched.vertices)
     lens = np.asarray(batched.lengths)
     out = {}

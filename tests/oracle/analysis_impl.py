@@ -131,3 +131,119 @@ def vertex_gradients_np(points, triangles, movie, areas, vertex_cells):
             out[:, i] += grad_m[:, c] * areas[c]
         out[:, i] /= tot
     return out
+
+
+# ------------------------------------------------------- reference quirks --
+def nearest_edge_np(a, b, c, p, quirk=False):
+    """Edge index (0: AB, 1: BC, 2: CA) nearest to interior point p.
+
+    quirk=True is find_nearest_edge_and_vertices
+    (utils/find_singularity_point.py:318-351) verbatim: the distances are
+    3-component |cross| vectors, np.argmin flattens the (3, 3) stack, and the
+    flat index maps through {0: AB, 1: BC, else: CA}. quirk=False is the
+    intended true point-to-line distance.
+    """
+    v1, v2, v3 = b - a, c - b, a - c
+    if quirk:
+        d1 = np.abs(np.cross(p - a, v1) / np.linalg.norm(v1))
+        d2 = np.abs(np.cross(p - b, v2) / np.linalg.norm(v2))
+        d3 = np.abs(np.cross(p - c, v3) / np.linalg.norm(v3))
+        idx = int(np.argmin(np.array([d1, d2, d3])))
+        return 0 if idx == 0 else (1 if idx == 1 else 2)
+    d = [np.linalg.norm(np.cross(p - a, v1)) / np.linalg.norm(v1),
+         np.linalg.norm(np.cross(p - b, v2)) / np.linalg.norm(v2),
+         np.linalg.norm(np.cross(p - c, v3)) / np.linalg.norm(v3)]
+    return int(np.argmin(d))
+
+
+def _scalar_posdiff_np(s, e1, e2):
+    """position_diff_on_basis_with_origin on SCALAR args (the reference's
+    S6:115-117 bug: vertex indices passed where coordinates are expected)."""
+    n = np.cross(e1, e2)
+    proj = s - s * n * n / np.dot(n, n)
+    return np.dot(proj, e1), np.dot(proj, e2)
+
+
+def _cross2_np(u, v):
+    return u[0] * v[1] - u[1] * v[0]
+
+
+def streamline_walk_np(points, normals, neighbors_row, cells_row, triangles,
+                       v_now, seed, quirk=False, max_steps=10000):
+    """One greedy streamline walk, the reference's rule
+    (extract_static_streamline_dot_product, S6_streamline.py:51-138),
+    returning visited vertex ids. `neighbors_row`/`cells_row` are the padded
+    (N, D)/(N, C) adjacency tables (PAD < 0) in the framework's sorted order
+    so tie-breaks match the device implementation. quirk selects the
+    single-shared-cell boundary test variant (index bug vs intended
+    geometry)."""
+    from tests.oracle.reference_impl import orthonormal_basis_np
+
+    e_all = orthonormal_basis_np(normals)
+    cur = int(seed)
+    line = [cur]
+    for _ in range(max_steps):
+        if np.linalg.norm(v_now[cur]) == 0 and len(line) == 1:
+            break  # zero-velocity seed: length-1 streamline
+        e1, e2 = e_all[cur, 0], e_all[cur, 1]
+        nbs = neighbors_row[cur]
+        nbs = nbs[nbs >= 0]
+        dots = []
+        for nb in nbs:
+            vec = points[nb] - points[cur]
+            pr = project_np(vec, e1, e2)
+            pr = pr / np.linalg.norm(pr)
+            dots.append(np.dot(pr, v_now[cur]))
+        dots = np.array(dots)
+        idx = int(np.argmax(dots))
+        cand = int(nbs[idx])
+        valid_dir = dots[idx] > 0 and cand not in line
+        cc = cells_row[cur]
+        cells_cur = [int(x) for x in cc[cc >= 0]]
+        if len(cells_cur) >= 6:  # interior vertex
+            if not valid_dir:
+                break
+            cur = cand
+            line.append(cur)
+            continue
+        # boundary vertex
+        cb = cells_row[cand]
+        cells_cand = set(int(x) for x in cb[cb >= 0])
+        common = [m for m in cells_cur if m in cells_cand]  # cur-table order
+        if len(common) >= 2:
+            if not valid_dir:
+                break
+            cur = cand
+            line.append(cur)
+            continue
+        # single shared cell: orientation test (S6:100-133)
+        tri = triangles[common[0]]
+        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
+        if a == cur:
+            pass
+        elif b == cur:
+            a, b = b, a
+        elif c == cur:
+            a, c = c, a
+        if quirk:
+            p1 = np.array(_scalar_posdiff_np(float(b - a), e1, e2))
+            p2 = np.array(_scalar_posdiff_np(float(a - c), e1, e2))
+        else:
+            p1 = np.array(posdiff_np(points[a], points[b], e1, e2))
+            p2 = np.array(posdiff_np(points[a], points[c], e1, e2))
+        orient = _cross2_np(p1, p2)
+        if orient == 0:
+            break  # collinear: clockwise() returns []
+        pb, pc = (p1, p2) if orient > 0 else (p2, p1)
+        pa = np.zeros(2)
+        u, v = express_np(v_now[cur], e1, e2)
+        pv = np.array([u, v])
+        inside = (_cross2_np(pb - pa, pv - pa) > 0
+                  and _cross2_np(pc - pb, pv - pb) > 0
+                  and _cross2_np(pa - pc, pv - pc) > 0)
+        if inside and valid_dir:
+            cur = cand
+            line.append(cur)
+        else:
+            break
+    return line

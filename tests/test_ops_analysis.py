@@ -303,3 +303,68 @@ def test_winding_scale_map_matches_sequential(small_mesh):
     empty = np.asarray(winding.scale_map(
         small_mesh, np.zeros((0, 3)), np.zeros((0,), dtype=np.int32)))
     assert not empty.any()
+
+
+# --------------------------------------------------------------- quirks ----
+def test_nearest_edge_quirk_matches_oracle():
+    """_nearest_edge reproduces find_nearest_edge_and_vertices' flat-argmin
+    quirk (:318-351) exactly, and true distances when quirks=False."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(40, 3))
+    b = a + rng.normal(size=(40, 3))
+    c = a + rng.normal(size=(40, 3))
+    w = rng.dirichlet(np.ones(3), size=40)
+    p = w[:, :1] * a + w[:, 1:2] * b + w[:, 2:] * c
+    for quirk in (False, True):
+        got = np.asarray(singularity._nearest_edge(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+            quirks=quirk))
+        want = [oracle.nearest_edge_np(a[i], b[i], c[i], p[i], quirk=quirk)
+                for i in range(40)]
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_streamline_walks_match_reference_rule(source_setup, quirk):
+    """Full-walk parity with the reference's greedy rule (S6:51-138) on a
+    boundary-heavy curved patch, in both fixed and quirk modes."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = v3[2]
+    sl = streamline.trace(mesh, jnp.asarray(v), max_steps=mesh.n_vertices,
+                          quirks=quirk)
+    verts = np.asarray(sl.vertices)
+    lengths = np.asarray(sl.lengths)
+    pts = np.asarray(mesh.points)
+    nrm = np.asarray(mesh.normals)
+    nb = np.asarray(mesh.vertex_neighbors)
+    cells = np.asarray(mesh.vertex_cells)
+    tris = np.asarray(mesh.triangles)
+    for seed in range(0, mesh.n_vertices, 7):
+        want = oracle.streamline_walk_np(
+            pts, nrm, nb, cells, tris, v, seed, quirk=quirk)
+        assert lengths[seed] == len(want), (seed, lengths[seed], len(want))
+        np.testing.assert_array_equal(verts[seed, :len(want)], want)
+
+
+def test_streamline_quirk_changes_boundary_walks():
+    """The two modes must actually differ somewhere on a boundary-heavy
+    random field (otherwise the quirk flag tests nothing) — and the quirk
+    walks still match the reference-rule oracle."""
+    mesh = synthetic.plane_patch(nx=20, ny=20, lx=10.0, ly=10.0)
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(mesh.n_vertices, 3))
+    v[:, 2] = 0.0
+    a = streamline.trace(mesh, jnp.asarray(v),
+                         max_steps=mesh.n_vertices, quirks=False)
+    b = streamline.trace(mesh, jnp.asarray(v),
+                         max_steps=mesh.n_vertices, quirks=True)
+    la, lb = np.asarray(a.lengths), np.asarray(b.lengths)
+    assert not np.array_equal(la, lb)
+    verts_b = np.asarray(b.vertices)
+    for seed in np.where(la != lb)[0]:
+        want = oracle.streamline_walk_np(
+            np.asarray(mesh.points), np.asarray(mesh.normals),
+            np.asarray(mesh.vertex_neighbors), np.asarray(mesh.vertex_cells),
+            np.asarray(mesh.triangles), v, int(seed), quirk=True)
+        assert lb[seed] == len(want)
+        np.testing.assert_array_equal(verts_b[seed, :len(want)], want)

@@ -226,3 +226,35 @@ def test_cli_demo_end_to_end(tmp_path):
     assert stats["converged"] is True
     assert (tmp_path / "V_k.csv").exists()
     assert (tmp_path / "singularity_points.pkl").exists()
+
+
+def test_interpolate_stage_phases_quirk_axis(demo_problem):
+    """config.reference_quirks switches the Hilbert transform to scipy's
+    default axis=-1 — the ELECTRODE axis the reference actually uses
+    (S2_interpolate_phases.py:66) — and the stage output then matches the
+    reference path (scipy hilbert -> e^{i phi} -> complex RBF -> angle)."""
+    import scipy.signal
+
+    mesh, _, _, _ = demo_problem
+    rng = np.random.default_rng(3)
+    sel = rng.choice(mesh.n_vertices, 12, replace=False)
+    coords = np.asarray(mesh.points)[sel]
+    t = np.linspace(0.0, 1.0, 24)
+    data = (np.sin(2 * np.pi * 3 * t)[:, None]
+            + 0.3 * rng.normal(size=(24, 12)))
+
+    from manifold_flow_tpu.ops import interpolate as rbf_ops
+    import jax.numpy as jnp
+
+    outs = {}
+    for quirk in (False, True):
+        cfg = PipelineConfig()
+        cfg.reference_quirks = quirk
+        outs[quirk] = stages.interpolate_stage(
+            mesh, coords, data, cfg, phases=True)
+        phi = np.angle(scipy.signal.hilbert(data, axis=-1 if quirk else 0))
+        want = np.angle(np.asarray(rbf_ops.rbf_interpolate(
+            jnp.asarray(coords), jnp.asarray(np.exp(1j * phi)),
+            mesh.points)))
+        np.testing.assert_allclose(outs[quirk], want, rtol=1e-7, atol=1e-9)
+    assert not np.allclose(outs[False], outs[True])
