@@ -48,12 +48,6 @@ class FlowOperator:
     # and the basis for compensated-precision reductions.
     gather_base: jnp.ndarray | None = None
     n_dof: int = dataclasses.field(default=0, metadata=dict(static=True))
-    # When the triangle set is partitioned across a named mesh axis
-    # (parallel.partition), local contributions are combined with a psum.
-    # Partitioned operators use scatter mode (gather tables index global
-    # triangle ids).
-    axis_name: str | None = dataclasses.field(
-        default=None, metadata=dict(static=True))
 
     @property
     def n_frames(self) -> int:
@@ -76,9 +70,8 @@ class FlowOperator:
         """Apply A to x (T, 2N) -> (T, 2N).
 
         With a gather_base table the reduction is a fixed-width gather + sum
-        (TPU scatter-add serializes); partitioned operators (axis_name set)
-        use shard-local tables indexing their local triangle slots and psum
-        the mesh-replicated result.
+        (TPU scatter-add serializes); mesh-partitioned solves use
+        parallel.halo.HaloOperator instead of this class.
         """
         t = x.shape[0]
         y_loc = self.local_contributions(x)
@@ -88,13 +81,9 @@ class FlowOperator:
                  jnp.zeros((t, 2), dtype=y_loc.dtype)], axis=1)
             c0 = jnp.take(y_flat, self.gather_base, axis=1)       # (T, N, C)
             c1 = jnp.take(y_flat, self.gather_base + 1, axis=1)   # (T, N, C)
-            out = jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
-        else:
-            out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
-            out = out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
-        if self.axis_name is not None:
-            out = jax.lax.psum(out, self.axis_name)
-        return out
+            return jnp.concatenate([c0.sum(-1), c1.sum(-1)], axis=-1)
+        out = jnp.zeros((t, self.n_dof), dtype=x.dtype)
+        return out.at[:, self.dof.reshape(-1)].add(y_loc.reshape(t, -1))
 
 
 def make_operator(mesh: TriMesh, potentials: jnp.ndarray,

@@ -5,15 +5,27 @@ frames (utils/compute_optical_flow.py:152-194, SURVEY.md §2 P1). Here:
 
   * 'frames' axis — pure data parallelism: frames are independent linear
     systems; zero communication.
-  * 'mesh' axis — the FEM triangle set is partitioned across devices; each
-    matvec computes local triangle contributions and combines them with one
-    `psum` over the axis (replicated-vector / partitioned-elements SpMD).
-    ICI-friendly: the psum payload is the (T_local, 2N) DOF block.
+  * 'mesh' axis — vertices partition into owned blocks with halo exchange
+    (parallel.halo): each device holds only its block's DOF/iterate/
+    preconditioner rows (~2N / n_mesh + halo) and the per-matvec collective
+    is an all_gather of block-boundary values, not a full-DOF psum. Works
+    for both the f32/f64 CG path and the two-float32 refined path.
 """
 
+from manifold_flow_tpu.parallel.halo import (
+    build_partition,
+    halo_compute_velocity_fields,
+    halo_refined_velocity_fields,
+)
 from manifold_flow_tpu.parallel.partition import (
     make_device_mesh,
     sharded_compute_velocity_fields,
 )
 
-__all__ = ["make_device_mesh", "sharded_compute_velocity_fields"]
+__all__ = [
+    "build_partition",
+    "halo_compute_velocity_fields",
+    "halo_refined_velocity_fields",
+    "make_device_mesh",
+    "sharded_compute_velocity_fields",
+]

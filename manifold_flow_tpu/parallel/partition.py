@@ -5,32 +5,26 @@ Sharding layout:
     over 'frames' — pure data parallelism, zero communication (the TPU-native
     replacement for the reference's multiprocessing pool,
     utils/compute_optical_flow.py:152-194);
-  * the triangle set (a2 blocks, g's triangle axis, DOF/corner tables,
-    diagonal contributions) shards over 'mesh'; each matvec computes local
-    triangle contributions into a mesh-replicated (T_local, 2N) DOF vector
-    and `psum`s over 'mesh' (replicated-vector / partitioned-elements FEM
-    SPMD — one ICI collective per matvec; a halo-exchange variant only pays
-    off once 2N outgrows VMEM-sized blocks).
+  * the DOF space shards over 'mesh' in owned vertex blocks with halo
+    exchange (parallel.halo): per-device memory ~ 2N / n_mesh + halo, one
+    boundary all_gather per matvec. Both the f32/f64 CG path and the
+    two-float32 refined path support the mesh axis (halo copies are exact,
+    unlike the old replicated psum scheme, so DF pairs survive).
 
-CG control flow stays in lockstep across the 'mesh' axis because residuals
-are mesh-replicated after each psum; different frames-shards may run
-different iteration counts, which is fine — they never communicate.
+CG control flow stays in lockstep across the 'mesh' axis because CG dot
+products psum over it; different frame-shards may run different iteration
+counts, which is fine — they never communicate.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from manifold_flow_tpu.fem import assembly
-from manifold_flow_tpu.fem.operator import FlowOperator, invert_2x2_blocks
 from manifold_flow_tpu.geometry.mesh import TriMesh
 from manifold_flow_tpu.solve.api import VelocityResult
-from manifold_flow_tpu.solve.cg import solve_cg
 
 
 def make_device_mesh(n_frame_shards: int | None = None,
@@ -57,41 +51,6 @@ def _pad_axis(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _shard_gather_tables(triangles: np.ndarray, n_vertices: int,
-                         n_shards: int, n_real: int | None = None):
-    """Per-shard vertex -> (local cell, corner) tables for gather-mode
-    reductions inside the mesh-partitioned matvec and diagonal build.
-
-    `triangles` is the PADDED (n_shards * Ms, 3) array; shard s owns rows
-    [s*Ms, (s+1)*Ms). Returns (base6, base3): (n_shards, N, Cmax) int32 flat
-    indices `m_local*6 + slot*2` / `m_local*3 + slot`, padded with Ms*6 /
-    Ms*3 (a zero slot appended by the consumer). Scatter-add per iteration
-    would serialize on TPU — these tables keep the distributed hot loop
-    gather-only (one psum per matvec remains).
-    """
-    ms = triangles.shape[0] // n_shards
-    if n_real is None:
-        n_real = triangles.shape[0]
-    incid: list[list[list[tuple[int, int]]]] = [
-        [[] for _ in range(n_vertices)] for _ in range(n_shards)]
-    for m, tri in enumerate(np.asarray(triangles)):
-        if m >= n_real:
-            break  # zero-padded triangles contribute nothing
-        s, m_loc = divmod(m, ms)
-        for slot, v in enumerate(tri):
-            if 0 <= v < n_vertices:
-                incid[s][int(v)].append((m_loc, slot))
-    cmax = max((len(x) for sh in incid for x in sh), default=1) or 1
-    base6 = np.full((n_shards, n_vertices, cmax), ms * 6, dtype=np.int32)
-    base3 = np.full((n_shards, n_vertices, cmax), ms * 3, dtype=np.int32)
-    for s in range(n_shards):
-        for v in range(n_vertices):
-            for c, (m_loc, slot) in enumerate(incid[s][v]):
-                base6[s, v, c] = m_loc * 6 + slot * 2
-                base3[s, v, c] = m_loc * 3 + slot
-    return base6, base3
-
-
 def sharded_compute_velocity_fields(
     mesh: TriMesh,
     potentials: jnp.ndarray,
@@ -105,98 +64,101 @@ def sharded_compute_velocity_fields(
 ) -> VelocityResult:
     """Distributed equivalent of solve.api.compute_velocity_fields.
 
-    method='cg' shards over both axes: frames are data-parallel, triangles
-    partition over 'mesh' with one psum per matvec. method='refined' (f32
-    inner PCG + two-float32 residuals, f64-grade accuracy) shards over
-    'frames' only — frames are independent systems, so the refined solve
-    runs unchanged per shard with zero communication; it requires
-    n_mesh_shards == 1 because compensated pair sums do not distribute over
-    a psum.
-
-    Frames pad to the 'frames' axis size (zero RHS rows converge instantly)
-    and triangles pad to the 'mesh' axis size (zero-block triangles whose
-    scatter targets DOF 0 contribute nothing); padding is stripped from the
-    result.
+    With n_mesh_shards > 1 both methods dispatch to the halo-exchange
+    vertex-block partition (parallel.halo) — the mesh axis shards memory,
+    not just FLOPs. With n_mesh_shards == 1 frames are simply data-parallel:
+    each shard runs the single-chip solver on its frame slice with zero
+    communication (the scaling structure of the reference's frame pool).
     """
+    nm = device_mesh.shape["mesh"]
+    if method == "cg" and nm > 1:
+        from manifold_flow_tpu.parallel.halo import (
+            halo_compute_velocity_fields)
+
+        return halo_compute_velocity_fields(
+            mesh, potentials, times, device_mesh, lambda_=lambda_, tol=tol,
+            max_iter=max_iter, precond=precond)
+    if method == "refined" and nm > 1:
+        from manifold_flow_tpu.parallel.halo import (
+            halo_refined_velocity_fields)
+
+        return halo_refined_velocity_fields(
+            mesh, potentials, times, device_mesh, lambda_=lambda_, tol=tol,
+            max_iter=max_iter, precond=precond)
     if method == "refined":
-        return _sharded_refined(mesh, potentials, times, device_mesh,
-                                lambda_=lambda_, tol=tol, max_iter=max_iter,
-                                precond=precond)
+        return _frames_sharded_refined(mesh, potentials, times, device_mesh,
+                                       lambda_=lambda_, tol=tol,
+                                       max_iter=max_iter, precond=precond)
     if method != "cg":
         raise ValueError(f"unknown sharded method {method!r} "
                          "(want 'cg' or 'refined')")
+    return _frames_sharded_cg(mesh, potentials, times, device_mesh,
+                              lambda_=lambda_, tol=tol, max_iter=max_iter,
+                              precond=precond)
+
+
+def _frames_sharded_cg(mesh, potentials, times, device_mesh, lambda_, tol,
+                       max_iter, precond: str = "auto"):
+    """Frame-sharded batched PCG: frames are independent systems, so each
+    shard runs the full single-chip operator on its slice, zero comm."""
+    from manifold_flow_tpu.fem import assembly
+    from manifold_flow_tpu.fem.operator import make_operator
+    from manifold_flow_tpu.solve.api import TWO_LEVEL_MIN_VERTICES
+    from manifold_flow_tpu.solve.cg import solve_cg
+
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
     nf = device_mesh.shape["frames"]
-    nm = device_mesh.shape["mesh"]
-    n_dof = mesh.n_dof
-    use_mesh_axis = nm > 1
-
-    g = assembly.frame_factors(mesh, potentials[:-1])           # (T, M, 3, 2)
+    op = make_operator(mesh, potentials, lambda_)
     dt = (times[1:] - times[:-1])[:, None]
     di = (potentials[1:] - potentials[:-1]) / dt
-    f = assembly.rhs_vector(mesh, g, di)                        # (T, 2N)
-    contrib = assembly.diag_contributions(mesh, g, lambda_)     # (T, M, 3, 2, 2)
-    t = g.shape[0]
+    f = assembly.rhs_vector(mesh, op.g, di)
+    t = f.shape[0]
 
-    dof = _pad_axis(assembly.local_dof_indices(mesh), 0, nm)
-    tris = _pad_axis(mesh.triangles, 0, nm)
-    blocks2 = _pad_axis(assembly.a2_blocks(mesh).astype(g.dtype), 0, nm)
-    w_scale = _pad_axis((mesh.areas / 12.0).astype(g.dtype), 0, nm)
-    g = _pad_axis(_pad_axis(g, 0, nf), 1, nm)
-    contrib = _pad_axis(_pad_axis(contrib, 0, nf), 1, nm)
-    f = _pad_axis(f, 0, nf)
-    base6_np, base3_np = _shard_gather_tables(
-        np.asarray(tris), n_dof // 2, nm, n_real=mesh.n_triangles)
-    base6 = jnp.asarray(base6_np)
-    base3 = jnp.asarray(base3_np)
+    tables = None
+    if precond == "auto" and mesh.n_vertices < TWO_LEVEL_MIN_VERTICES:
+        precond = "jacobi"
+    if precond != "jacobi":
+        from manifold_flow_tpu.solve import coarse
 
-    def local_solve(dof_l, blocks2_l, w_l, g_l, contrib_l, f_l, b6_l, b3_l):
-        op = FlowOperator(
-            dof=dof_l, blocks2=blocks2_l, g=g_l, w_scale=w_l,
-            lambda_=jnp.asarray(lambda_, dtype=g_l.dtype), n_dof=n_dof,
-            gather_base=b6_l[0],
-            axis_name="mesh" if use_mesh_axis else None,
-        )
-        # Block-Jacobi diagonal via the shard-local gather table (the
-        # scatter-add equivalent serializes on TPU).
-        t_l, m_l = contrib_l.shape[0], contrib_l.shape[1]
-        flat = jnp.concatenate(
-            [contrib_l.reshape(t_l, m_l * 3, 4),
-             jnp.zeros((t_l, 1, 4), contrib_l.dtype)], axis=1)
-        diag = jnp.take(flat, b3_l[0], axis=1).sum(axis=2).reshape(
-            t_l, n_dof // 2, 2, 2)
-        if use_mesh_axis:
-            diag = jax.lax.psum(diag, "mesh")
-        pre = invert_2x2_blocks(diag)
-        res = solve_cg(op, f_l, precond=pre, tol=tol, max_iter=max_iter)
+        try:
+            tables = coarse.build_tables(mesh)
+        except Exception:
+            if precond == "two_level":
+                raise
+            tables = None
+
+    g_pad = _pad_axis(op.g, 0, nf)
+    f_pad = _pad_axis(f, 0, nf)
+
+    def local_solve(g_l, f_l):
+        import dataclasses as _dc
+
+        op_l = _dc.replace(op, g=g_l)
+        if tables is not None:
+            from manifold_flow_tpu.solve.coarse import make_two_level
+
+            pre = make_two_level(mesh, g_l, op.lambda_, tables)
+        else:
+            from manifold_flow_tpu.fem.operator import block_jacobi_inverse
+
+            pre = block_jacobi_inverse(mesh, g_l, lambda_)
+        res = solve_cg(op_l, f_l, precond=pre, tol=tol, max_iter=max_iter)
         return res.x, res.iterations[None], res.residual, res.converged
 
+    spec = P("frames")
     shard = jax.shard_map(
-        local_solve,
-        mesh=device_mesh,
-        in_specs=(
-            P("mesh"),                     # dof (M, 6)
-            P("mesh"),                     # blocks2 (M, 6, 6)
-            P("mesh"),                     # w_scale (M,)
-            P("frames", "mesh"),           # g (T, M, 3, 2)
-            P("frames", "mesh"),           # diag contributions (T, M, 3, 2, 2)
-            P("frames"),                   # f (T, 2N)
-            P("mesh"),                     # gather table (shards, N, C)
-            P("mesh"),                     # diag gather table (shards, N, C)
-        ),
-        out_specs=(P("frames"), P("frames"), P("frames"), P("frames")),
-        check_vma=False,
-    )
-    x, iters, resid, conv = jax.jit(shard)(
-        dof, blocks2, w_scale, g, contrib, f, base6, base3)
+        local_solve, mesh=device_mesh,
+        in_specs=(spec, spec), out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+    x, iters, resid, conv = jax.jit(shard)(g_pad, f_pad)
     return VelocityResult(
         v_k=x[:t], e=mesh.basis,
         iterations=jnp.max(iters), residual=resid[:t], converged=conv[:t])
 
 
-def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
-                     max_iter, precond: str = "auto"):
+def _frames_sharded_refined(mesh, potentials, times, device_mesh, lambda_,
+                            tol, max_iter, precond: str = "auto"):
     """Frame-sharded two-float32 refined solve (f64-grade accuracy).
 
     Assembly is replicated (cheap relative to the solve); each frame shard
@@ -207,10 +169,6 @@ def _sharded_refined(mesh, potentials, times, device_mesh, lambda_, tol,
     from manifold_flow_tpu.kernels.df32 import DF
     from manifold_flow_tpu.solve.refine import refine_loop
 
-    if device_mesh.shape["mesh"] != 1:
-        raise ValueError(
-            "method='refined' shards frames only (compensated pair sums do "
-            "not distribute over a psum); use n_mesh_shards=1")
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
     nf = device_mesh.shape["frames"]
