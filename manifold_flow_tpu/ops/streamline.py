@@ -154,32 +154,66 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     Seeds with zero velocity produce length-1 streamlines (the caller filters
     by min length, matching S6:29 + S6:135-138). `quirks` reproduces the
     reference's single-shared-cell index bug (module docstring).
+
+    The next hop depends only on the current vertex, so the hop table is a
+    FUNCTIONAL GRAPH (halting vertices made self-loops): every walk is a
+    rho-shaped path, and the no-revisit stop (S6:39-49) fires exactly on
+    first re-entering the cycle. Walk length is therefore tail + cycle
+    length, computed with Floyd cycle detection — three masked O(1)-state
+    pointer scans — instead of an O(max_steps)-wide membership test per
+    step. That test made streamline tracing the one analysis stage far above
+    the dispatch-latency floor (~29 ms/frame at reference scale).
     """
     n = mesh.n_vertices
-    seeds = jnp.arange(n, dtype=jnp.int32)
-    vel = v_world_frame
-    next_tab, ok_tab = _next_hop_tables(mesh, vel, quirks=quirks)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    next_tab, ok_tab = _next_hop_tables(mesh, v_world_frame, quirks=quirks)
+    f = jnp.where(ok_tab, next_tab, idx)          # halting => fixed point
 
-    def step_one(state, _):
-        cur, visited, length, alive, slot = state
-        cand = next_tab[cur]
-        ok = alive & ok_tab[cur] & jnp.all(visited != cand)
-        new_cur = jnp.where(ok, cand, cur)
-        visited = visited.at[slot].set(jnp.where(ok, cand, PAD_INDEX))
-        return (new_cur, visited, length + ok.astype(length.dtype), ok,
-                slot + 1), None
+    # Floyd phase 1: tortoise/hare until they meet (within the step cap).
+    def meet_step(state, _):
+        t, h, done = state
+        t2 = jnp.where(done, t, f[t])
+        h2 = jnp.where(done, h, f[f[h]])
+        return (t2, h2, done | (t2 == h2)), None
 
-    def walk(seed):
-        visited0 = jnp.full((max_steps + 1,), PAD_INDEX, dtype=jnp.int32)
-        visited0 = visited0.at[0].set(seed)
-        alive0 = jnp.linalg.norm(vel[seed]) != 0
-        state = (seed, visited0, jnp.int32(1), alive0, jnp.int32(1))
-        (cur, visited, length, alive, _), _ = jax.lax.scan(
-            step_one, state, None, length=max_steps)
-        return visited, length
+    t0 = f[idx]
+    h0 = f[t0]
+    (t, _, done), _ = jax.lax.scan(
+        meet_step, (t0, h0, t0 == h0), None, length=max_steps)
 
-    visited, lengths = jax.vmap(walk)(seeds)
-    return Streamlines(vertices=visited, lengths=lengths)
+    # Phase 2: tail length mu; afterwards `a` is the cycle entry vertex.
+    def mu_step(state, _):
+        a, b, mu = state
+        go = a != b
+        return (jnp.where(go, f[a], a), jnp.where(go, f[b], b),
+                mu + go.astype(jnp.int32)), None
+
+    (a, _, mu), _ = jax.lax.scan(
+        mu_step, (idx, t, jnp.zeros(n, jnp.int32)), None, length=max_steps)
+
+    # Phase 3: cycle length lam (1 for halting fixed points).
+    def lam_step(state, _):
+        b, lam = state
+        go = b != a
+        return (jnp.where(go, f[b], b), lam + go.astype(jnp.int32)), None
+
+    (_, lam), _ = jax.lax.scan(
+        lam_step, (f[a], jnp.ones(n, jnp.int32)),
+        None, length=max_steps)
+
+    lengths = jnp.minimum(jnp.where(done, mu + lam, max_steps + 1),
+                          max_steps + 1)
+
+    # One recording chase, masked to the computed lengths.
+    def rec_step(cur, _):
+        nxt = f[cur]
+        return nxt, nxt
+
+    _, seq = jax.lax.scan(rec_step, idx, None, length=max_steps)
+    seq = jnp.concatenate([idx[None], seq], axis=0).T      # (N, L+1)
+    slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, :]
+    visited = jnp.where(slot < lengths[:, None], seq, PAD_INDEX)
+    return Streamlines(vertices=visited.astype(jnp.int32), lengths=lengths)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "quirks"))
