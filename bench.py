@@ -72,6 +72,100 @@ def bench_tpu(mesh64, pot, times, dtype, repeats=3, tol=1e-6):
     return np.asarray(out), n_frames / best, res
 
 
+def _time_program(fn, *args, repeats=3):
+    """Best wall-clock of a jitted program (compile + warmup excluded)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_analysis_stages(mesh, v_world, eps=1e-4):
+    """Frames/s of each S3-S7 analysis stage as ONE device program over the
+    whole movie (detection, classification, streamlines, winding) — the
+    numbers VERDICT r1 flagged as unrecorded. The reference runs these as
+    per-frame/per-seed Python loops over PyVista queries
+    (utils/find_singularity_point.py:530-605, S6_streamline.py:17-37,
+    S7_winding_line.py:120-165)."""
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.ops import streamline as stream_ops
+    from manifold_flow_tpu.ops import winding as wind_ops
+
+    v = jnp.asarray(np.asarray(v_world), jnp.float32)
+    t = v.shape[0]
+    out = {}
+
+    detect = jax.jit(lambda vv: sing_ops.detect(mesh, vv, eps=eps))
+    out["detect_fps"] = t / _time_program(detect, v)
+    field = detect(v)
+
+    vm = np.asarray(field.vertex_mask)
+    im = np.asarray(field.interior_mask)
+    cap = max(int(vm.sum(axis=1).max()), int(im.sum(axis=1).max()), 1)
+    cap = -(-cap // 8) * 8
+    classify = jax.jit(lambda vv, ff: sing_ops.classify_detected(
+        mesh, vv, ff, capacity=cap))
+    out["classify_fps"] = t / _time_program(classify, v, field)
+
+    trace = jax.jit(lambda vv: stream_ops.trace_frames(
+        mesh, vv, max_steps=256))
+    out["streamline_fps"] = t / _time_program(trace, v)
+
+    # Winding over the detected singularities at a common capacity (the
+    # device program of pipeline.stages.winding_stage).
+    pts = np.asarray(field.interior_point)
+    smax = max(cap, 1)
+    pts_arr = np.zeros((t, smax, 3), np.float32)
+    valid = np.zeros((t, smax), bool)
+    mpts = np.asarray(mesh.points)
+    for k in range(t):
+        sel = list(np.where(vm[k])[0][:smax])
+        rows = [mpts[i] for i in sel]
+        for m in np.where(im[k])[0][: smax - len(rows)]:
+            rows.append(pts[k, m])
+        if rows:
+            pts_arr[k, : len(rows)] = np.stack(rows)
+            valid[k, : len(rows)] = True
+    wind = jax.jit(lambda vv, pp, mm: jax.vmap(
+        lambda a, b, c: wind_ops.analyze_singularities(
+            mesh, a, b, c, max_level=25))(vv, pp, mm))
+    out["winding_fps"] = t / _time_program(
+        wind, v, jnp.asarray(pts_arr), jnp.asarray(valid))
+    return out
+
+
+def bench_end_to_end_s3(mesh, pot, times, tol=1e-6):
+    """The whole S3 stage as ONE program: refined velocity solve ->
+    world-frame recombination -> speed map -> singularity detection."""
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.ops.recombine import velocity_to_world, world_speed
+    from manifold_flow_tpu.solve.api import compute_velocity_fields
+
+    def s3(p, t_):
+        res = compute_velocity_fields(mesh, p, t_, lambda_=0.01,
+                                      method="refined", tol=tol,
+                                      max_iter=4000)
+        v3 = velocity_to_world(res.v_k, mesh.basis).astype(jnp.float32)
+        field = sing_ops.detect(mesh, v3)
+        return v3, world_speed(v3), field.vertex_mask, field.interior_point
+
+    fn = jax.jit(s3)
+    best = _time_program(fn, jnp.asarray(pot), jnp.asarray(times))
+    return (pot.shape[0] - 1) / best
+
+
 def bench_cpu_baseline(mesh, pot, times, n_sample=6):
     """Frames/s of the vectorized scipy oracle (assembly + spsolve)."""
     from tests.oracle import reference_impl as ref
@@ -122,6 +216,14 @@ def main():
     rmse = float(np.sqrt(np.mean(
         (v_tpu[:n_sample].astype(np.float64) - v_cpu) ** 2)) / scale)
 
+    # Analysis-stage + end-to-end throughput (VERDICT r1 #2): every stage of
+    # the capability surface on chip, not just the hot solve.
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+    v_world = np.asarray(velocity_to_world(v_tpu, np.asarray(mesh.basis)))
+    stages = bench_analysis_stages(mesh, v_world)
+    s3_fps = bench_end_to_end_s3(mesh, pot, times)
+
     print(json.dumps({
         "metric": "optical_flow_frames_per_sec_per_chip",
         "value": round(fps_tpu, 2),
@@ -131,6 +233,8 @@ def main():
         "rmse_vs_spsolve_normalized": rmse,
         "converged": bool(np.all(np.asarray(res.converged))),
         "cg_iterations": int(res.iterations),
+        "s3_end_to_end_fps": round(s3_fps, 2),
+        **{k: round(val, 2) for k, val in stages.items()},
         "platform": platform,
         "n_vertices": mesh.n_vertices,
         "n_frames": pot.shape[0] - 1,

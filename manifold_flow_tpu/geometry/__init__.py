@@ -6,7 +6,7 @@ tangent orthonormal bases, tangent-plane projection, basis expression,
 P1 hat-function gradients, and mesh topology queries.
 """
 
-from manifold_flow_tpu.geometry.mesh import TriMesh, build_mesh
+from manifold_flow_tpu.geometry.mesh import TriMesh, build_mesh, pad_mesh
 from manifold_flow_tpu.geometry.tangent import (
     tangent_basis,
     project_to_plane,
@@ -24,6 +24,7 @@ from manifold_flow_tpu.geometry import topology, synthetic
 __all__ = [
     "TriMesh",
     "build_mesh",
+    "pad_mesh",
     "tangent_basis",
     "project_to_plane",
     "express_on_basis",

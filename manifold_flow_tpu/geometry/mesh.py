@@ -53,9 +53,15 @@ class TriMesh:
       edges            (E, 2) int32  unique undirected edges (sorted pairs)
       edge_cells       (E, 2) int32  incident cells per edge (PAD for boundary)
 
-    Static (aux) fields: n_vertices, n_triangles, max_degree, max_cells.
-    Vertices may be padding (beyond n_vertices) when a mesh is padded for TPU
-    tiling; padded triangles have zero area and contribute nothing.
+    Static (aux) fields: n_vertices, n_triangles (PADDED counts — the array
+    sizes every jitted program shapes to) and n_valid_vertices /
+    n_valid_triangles (the real mesh; 0 means "all valid"). `pad_mesh` builds
+    padded meshes whose array shapes are rounded to multiples, so different
+    surfaces share one compiled program; padding triangles reference padding
+    vertices only, have zero area/gradients, and contribute nothing to FEM
+    assembly or adjacency of real vertices. Ops mask their outputs with
+    `valid_vertices` / `valid_triangles` (ops.singularity.detect,
+    topology.closest_vertex callers).
     """
 
     points: jnp.ndarray
@@ -75,11 +81,30 @@ class TriMesh:
     edge_cells: jnp.ndarray
     n_vertices: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
+    n_valid_vertices: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+    n_valid_triangles: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     @property
     def n_dof(self) -> int:
         """Velocity DOF count 2N (two tangent components per vertex)."""
         return 2 * self.n_vertices
+
+    @property
+    def valid_vertices(self) -> int:
+        """Count of REAL (non-padding) vertices."""
+        return self.n_valid_vertices or self.n_vertices
+
+    @property
+    def valid_triangles(self) -> int:
+        """Count of REAL (non-padding) triangles."""
+        return self.n_valid_triangles or self.n_triangles
+
+    @property
+    def is_padded(self) -> bool:
+        return (self.valid_vertices != self.n_vertices
+                or self.valid_triangles != self.n_triangles)
 
     @property
     def e(self) -> jnp.ndarray:
@@ -217,3 +242,51 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
         n_vertices=n_vertices,
         n_triangles=n_triangles,
     )
+
+
+def pad_mesh(mesh: TriMesh, vertex_multiple: int = 128,
+             triangle_multiple: int = 256) -> TriMesh:
+    """Round the mesh's array shapes up to multiples for TPU tiling and —
+    the bigger win on a remote accelerator — fixed-shape program reuse:
+    surfaces padded to the same bucket share every compiled kernel instead
+    of recompiling per subject/run (jit keys on static shapes).
+
+    Padding triangles reference only padding vertices (never vertex 0 —
+    that would corrupt real adjacency/cell counts), cycled across the pad
+    vertices so no single pad vertex inflates the incidence table width.
+    Padding vertices get normal (0, 0, 1) (any unit vector works; they are
+    excluded from every op via `valid_vertices`) and coordinates far outside
+    the bounding box so closest-point snapping can never pick them even
+    without the explicit mask.
+    """
+    n = mesh.valid_vertices
+    m = mesh.valid_triangles
+    if mesh.is_padded:
+        raise ValueError("mesh is already padded")
+    n_pad = -(-n // vertex_multiple) * vertex_multiple
+    m_pad = -(-m // triangle_multiple) * triangle_multiple
+    if m_pad > m and n_pad == n:
+        n_pad += vertex_multiple  # need at least one pad vertex to anchor
+    if n_pad == n and m_pad == m:
+        return mesh
+
+    points = np.asarray(mesh.points)
+    tris = np.asarray(mesh.triangles)
+    far = points.max(axis=0) + 1e6 * max(
+        1.0, float(np.ptp(points, axis=0).max()))
+    pts_pad = np.concatenate(
+        [points, np.broadcast_to(far, (n_pad - n, 3)).copy()])
+    normals = np.asarray(mesh.normals)
+    nrm_pad = np.concatenate(
+        [normals,
+         np.broadcast_to(np.array([0.0, 0.0, 1.0], normals.dtype),
+                         (n_pad - n, 3)).copy()])
+    if m_pad > m:
+        anchors = n + (np.arange(m_pad - m) % (n_pad - n))
+        tri_fill = np.stack([anchors] * 3, axis=1).astype(np.int32)
+        tris_pad = np.concatenate([tris, tri_fill])
+    else:
+        tris_pad = tris
+    padded = build_mesh(pts_pad, tris_pad, normals=nrm_pad)
+    return dataclasses.replace(
+        padded, n_valid_vertices=n, n_valid_triangles=m)

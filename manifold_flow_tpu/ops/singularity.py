@@ -50,12 +50,6 @@ class SingularityField(NamedTuple):
     v_max: jnp.ndarray
 
 
-def _valid_vertex_mask(n_vertices: int, n_valid: int | None):
-    if n_valid is None:
-        return None
-    return jnp.arange(n_vertices) < n_valid
-
-
 @partial(jax.jit, static_argnames=("eps",))
 def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
            ) -> SingularityField:
@@ -69,11 +63,18 @@ def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
     vertex are skipped; the interior test projects corner velocities onto the
     triangle plane and solves [VA-VC, VB-VC] [lam, mu]^T = -VC in the
     least-squares sense, accepting lam >= 0, mu >= 0, lam + mu <= 1.
+
+    On a padded mesh (geometry.mesh.pad_mesh), padding vertices/triangles are
+    masked out of both outputs (their zero velocities would otherwise always
+    flag as singular).
     """
     speeds = jnp.linalg.norm(v_world, axis=-1)             # (T, N)
     v_max = jnp.max(speeds, axis=-1)                       # (T,)
     vn = v_world / v_max[:, None, None]
     vertex_mask = (speeds / v_max[:, None]) <= eps         # (T, N)
+    if mesh.is_padded:
+        vertex_mask &= (jnp.arange(mesh.n_vertices)
+                        < mesh.valid_vertices)[None, :]
 
     tri = mesh.triangles                                   # (M, 3)
     p = mesh.points[tri]                                   # (M, 3, 3)
@@ -101,6 +102,9 @@ def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
 
     touches_singular = jnp.any(vertex_mask[:, tri], axis=-1)  # (T, M)
     interior_mask = solvable & inside & ~touches_singular
+    if mesh.is_padded:
+        interior_mask &= (jnp.arange(mesh.n_triangles)
+                          < mesh.valid_triangles)[None, :]
 
     bary = jnp.stack([lam, mu], axis=-1)                   # (T, M, 2)
     w = jnp.stack([lam, mu, 1.0 - lam - mu], axis=-1)      # (T, M, 3)

@@ -229,14 +229,16 @@ def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
 
 
 def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
-    """Host-side: masked walks -> list of coordinate polylines (S6:135-138)."""
+    """Host-side: masked walks -> list of coordinate polylines (S6:135-138).
+
+    Padding-vertex seeds (padded meshes) are skipped outright."""
     import numpy as np
 
     pts = np.asarray(mesh.points)
     verts = np.asarray(sl.vertices)
     lengths = np.asarray(sl.lengths)
     out = []
-    for i in range(verts.shape[0]):
+    for i in range(min(verts.shape[0], mesh.valid_vertices)):
         if lengths[i] >= min_length:
             ids = verts[i, : lengths[i]]
             out.append(pts[ids])

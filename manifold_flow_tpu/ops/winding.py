@@ -180,7 +180,8 @@ def scale_map(mesh: TriMesh, singularity_points, counts) -> jnp.ndarray:
 
     @partial(jax.jit, static_argnames=("max_level",))
     def _all_values(points_q, cnts, max_level):
-        centers = topology.closest_vertex(mesh.points, points_q)
+        centers = topology.closest_vertex(mesh.points, points_q,
+                                          n_valid=mesh.valid_vertices)
         levels = jax.vmap(
             lambda c: topology.bfs_levels(mesh.vertex_neighbors, c,
                                           max_level))(centers)   # (S, N)
@@ -208,10 +209,12 @@ def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
     """Winding analysis for one frame's singularity list.
 
     points: (S, 3) fixed-capacity singularity coordinates; valid: (S,) mask.
-    Each point is snapped to its closest vertex (S7:130) before ring
-    construction. Invalid slots return count 0 / type 0.
+    Each point is snapped to its closest REAL vertex (S7:130; padding
+    vertices are excluded) before ring construction. Invalid slots return
+    count 0 / type 0.
     """
-    centers = topology.closest_vertex(mesh.points, points)
+    centers = topology.closest_vertex(mesh.points, points,
+                                      n_valid=mesh.valid_vertices)
 
     def one(center):
         w = winding_profile(mesh, v_world_frame, center, max_level)
