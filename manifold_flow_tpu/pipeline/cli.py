@@ -132,9 +132,27 @@ def cmd_decompose(args):
     modes = stages.decompose_stage(v_k, cfg, mode=args.mode,
                                    npz_path=Path(args.out_dir) / "data_01.npz")
     sigma = np.asarray(modes.sigma)
+    rendered = []
+    if args.render_modes:
+        from manifold_flow_tpu.viz import fields
+
+        if not args.surface:
+            raise SystemExit("--render-modes requires --surface")
+        mesh = stages.load_surface(args.surface)
+        underlay = (fields.load_pial_surfaces(*args.pial)
+                    if args.pial else None)
+        fmt = str(Path(args.out_dir) / "spatial_mode_{mode}.png")
+        figs = fields.plot_spatial_modes(
+            mesh, modes, n_modes=args.render_modes, underlay=underlay,
+            save_path_fmt=fmt)
+        rendered = [fmt.format(mode=i + 1) for i in range(len(figs))]
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
     print(json.dumps({"stage": "decompose", "mode": args.mode,
                       "energy_pct": list(np.round(
-                          100 * sigma**2 / (sigma**2).sum(), 3)[:8])}))
+                          100 * sigma**2 / (sigma**2).sum(), 3)[:8]),
+                      "rendered_modes": rendered}))
 
 
 def cmd_wavespeed(args):
@@ -202,15 +220,21 @@ def cmd_visualize(args):
     v_world = np.asarray(velocity_to_world(v_k, e))
     scalars = _load_movie(args.scalars) if args.scalars else None
     sing = io.load_pickle(args.singularities) if args.singularities else None
+    true_sing = (io.load_pickle(args.true_singularities)
+                 if args.true_singularities else None)
+    underlay = fields.load_pial_surfaces(*args.pial) if args.pial else None
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     if args.gif:
-        path = out / "velocity_fields.gif"
+        name = ("true_vs_detected.gif" if true_sing is not None
+                else "velocity_fields.gif")
+        path = out / name
         times = (np.arange(v_world.shape[0]) / args.sfreq
                  if args.sfreq else None)
         fields.animate_velocity_fields(
             mesh, v_world, path, scalars=scalars,
-            singularities_per_frame=sing, times=times,
+            singularities_per_frame=sing,
+            true_singularities_per_frame=true_sing, times=times,
             scaling=args.scaling, stride=args.stride)
         print(json.dumps({"stage": "visualize", "gif": str(path),
                           "frames": int(v_world.shape[0])}))
@@ -221,8 +245,10 @@ def cmd_visualize(args):
             mesh, v_world[k],
             scalars=scalars[k] if scalars is not None else None,
             singularities=np.asarray(sing[k]) if sing else None,
+            true_singularities=(np.asarray(true_sing[k])
+                                if true_sing else None),
             scaling=args.scaling, stride=args.stride,
-            title=f"frame {k}")
+            title=f"frame {k}", underlay=underlay)
         fig.savefig(path, dpi=120)
         print(json.dumps({"stage": "visualize", "png": str(path),
                           "frame": k}))
@@ -256,11 +282,25 @@ def cmd_demo(args):
         mesh, pts, [true_pts] * len(pts),
         threshold=cfg.analysis.threshold,
         turning_point=len(pts) + 1)
+    gif_path = None
+    if args.gif:
+        # The reference's simulated-data visual validation: detected (red)
+        # vs true (blue) singularities animated over the velocity movie
+        # (draw_optical_flow_field.py:258-319).
+        from manifold_flow_tpu.viz import fields
+
+        gif_path = out / "true_vs_detected.gif"
+        fields.animate_velocity_fields(
+            mesh, vel.v_world, gif_path, scalars=pot[:-1],
+            singularities_per_frame=[np.asarray(p) for p in pts],
+            true_singularities_per_frame=[np.asarray(true_pts)] * len(pts),
+            times=np.asarray(times)[:-1], stride=4, dpi=60)
     print(json.dumps({
         "stage": "demo", "frames": int(vel.v_k.shape[0]),
         "converged": vel.converged,
         "matched": report.matched, "missed": report.missed,
         "spare": report.spare, "err_max": report.err_max,
+        "gif": str(gif_path) if gif_path else None,
         "out_dir": str(out)}))
 
 
@@ -310,6 +350,14 @@ def build_parser():
     _add_common(sp)
     sp.add_argument("--v-k", required=True)
     sp.add_argument("--mode", default="concat", choices=["concat", "complex"])
+    sp.add_argument("--render-modes", type=int, default=0,
+                    help="render the leading K spatial modes as glyph PNGs "
+                         "(extract_modes, S4_...ComplexMatrices .py:145-162); "
+                         "requires --surface")
+    sp.add_argument("--surface", default=None)
+    sp.add_argument("--pial", nargs="*", default=None,
+                    help="FreeSurfer pial surface(s) for the translucent "
+                         "context underlay (S4_...ConcatMatrices .py:147-158)")
     sp.set_defaults(func=cmd_decompose)
 
     sp = sub.add_parser("wavespeed", help="S5: wave speeds from a movie")
@@ -348,6 +396,11 @@ def build_parser():
                     help="(T, N) potentials/phases movie for the colormap")
     sp.add_argument("--singularities", default=None,
                     help="singularity_points.pkl to overlay (red)")
+    sp.add_argument("--true-singularities", default=None,
+                    help="ground-truth points pkl for the true-vs-detected "
+                         "overlay/GIF (draw_optical_flow_field.py:258-319)")
+    sp.add_argument("--pial", nargs="*", default=None,
+                    help="FreeSurfer pial surface(s) underlay")
     sp.add_argument("--frame", type=int, default=0)
     sp.add_argument("--gif", action="store_true")
     sp.add_argument("--sfreq", type=float, default=None,
@@ -360,6 +413,8 @@ def build_parser():
     _add_common(sp)
     sp.add_argument("--nx", type=int, default=24)
     sp.add_argument("--frames", type=int, default=12)
+    sp.add_argument("--gif", action="store_true",
+                    help="also render the true-vs-detected validation GIF")
     sp.set_defaults(func=cmd_demo)
     return p
 

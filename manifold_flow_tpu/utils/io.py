@@ -194,6 +194,49 @@ def load_grid_electrodes(path, group: str = "grid", names=None,
     return (coords, kept) if with_names else coords
 
 
+# ------------------------------------------------- FreeSurfer surfaces ----
+_FS_TRIANGLE_MAGIC = 0xFFFFFE  # 3-byte magic of binary triangle surfaces
+
+
+def read_freesurfer_surface(path):
+    """Read a FreeSurfer binary triangle surface (lh.pial / rh.pial).
+
+    MNE-free equivalent of the `mne.read_surface` calls in the reference's
+    pial-underlay plot (S4_...ConcatMatrices .py:147-158): 3-byte magic
+    0xFFFFFE, a creation comment terminated by '\\n\\n', then big-endian
+    int32 vertex/face counts, float32 xyz coordinates, and int32 triangle
+    indices. Returns (verts (V, 3) float64, faces (F, 3) int64) like MNE.
+    """
+    raw = Path(path).read_bytes()
+    magic = int.from_bytes(raw[:3], "big")
+    if magic != _FS_TRIANGLE_MAGIC:
+        raise ValueError(
+            f"{path}: not a FreeSurfer binary triangle surface "
+            f"(magic 0x{magic:06X}, want 0x{_FS_TRIANGLE_MAGIC:06X})")
+    end = raw.index(b"\n\n", 3) + 2
+    n_vert, n_face = struct.unpack(">ii", raw[end:end + 8])
+    off = end + 8
+    verts = np.frombuffer(raw, dtype=">f4", count=3 * n_vert, offset=off)
+    off += 12 * n_vert
+    faces = np.frombuffer(raw, dtype=">i4", count=3 * n_face, offset=off)
+    return (verts.reshape(n_vert, 3).astype(np.float64),
+            faces.reshape(n_face, 3).astype(np.int64))
+
+
+def write_freesurfer_surface(path, verts, faces, comment: str = "created"):
+    """Write the FreeSurfer binary triangle format `read_freesurfer_surface`
+    reads (and that mne.read_surface / FreeSurfer itself accept)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    with open(path, "wb") as f:
+        f.write(_FS_TRIANGLE_MAGIC.to_bytes(3, "big"))
+        f.write(comment.encode() + b"\n\n")
+        f.write(struct.pack(">ii", verts.shape[0], faces.shape[0]))
+        f.write(verts.astype(">f4").tobytes())
+        f.write(faces.astype(">i4").tobytes())
+    return path
+
+
 # -------------------------------------------------------------- pickles ----
 def save_pickle(path, obj, compress: bool | None = None):
     """Pickle, with bz2 compression for .bz2 paths (the reference's

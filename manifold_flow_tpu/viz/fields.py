@@ -44,7 +44,8 @@ def _arrow_lengths(v, points, mode):
 def plot_velocity_frame(mesh, v_frame, scalars=None, singularities=None,
                         true_singularities=None, scaling: str = "scaled",
                         stride: int = 1, title: str | None = None,
-                        elev: float = 40.0, azim: float = -60.0, ax=None):
+                        elev: float = 40.0, azim: float = -60.0, ax=None,
+                        underlay=None):
     """One frame: surface + velocity arrows (+ singularities).
 
     Args:
@@ -56,6 +57,9 @@ def plot_velocity_frame(mesh, v_frame, scalars=None, singularities=None,
         reference's true-vs-detected overlay (draw_optical_flow_field.py:258-319).
       scaling: 'raw' | 'scaled' arrow mode (:93-116).
       stride: draw every stride-th vertex arrow.
+      underlay: optional list of (verts, faces) translucent context meshes —
+        the reference's pial-surface underlay (plot_pial_surfaces,
+        S4_...ConcatMatrices .py:147-158); load with `load_pial_surfaces`.
     Returns the matplotlib Figure.
     """
     points = np.asarray(mesh.points)
@@ -64,6 +68,12 @@ def plot_velocity_frame(mesh, v_frame, scalars=None, singularities=None,
         fig, ax = _axes3d()
     else:
         fig = ax.figure
+
+    for uverts, ufaces in (underlay or ()):
+        uverts = np.asarray(uverts)
+        ax.plot_trisurf(uverts[:, 0], uverts[:, 1], uverts[:, 2],
+                        triangles=np.asarray(ufaces), color="grey",
+                        alpha=0.1, linewidth=0, shade=True)
 
     colors = None if scalars is None else np.asarray(scalars)
     surf = ax.plot_trisurf(points[:, 0], points[:, 1], points[:, 2],
@@ -92,17 +102,27 @@ def plot_velocity_frame(mesh, v_frame, scalars=None, singularities=None,
     if title:
         ax.set_title(title)
     ax.view_init(elev=elev, azim=azim)
-    ax.set_box_aspect(points.max(0) - points.min(0) + 1e-9)
+    lo, hi = points.min(0), points.max(0)
+    for uverts, _ in (underlay or ()):
+        uverts = np.asarray(uverts)
+        lo = np.minimum(lo, uverts.min(0))
+        hi = np.maximum(hi, uverts.max(0))
+    ax.set_box_aspect(hi - lo + 1e-9)
     return fig
 
 
 def animate_velocity_fields(mesh, v_world, save_path, scalars=None,
-                            singularities_per_frame=None, times=None,
+                            singularities_per_frame=None,
+                            true_singularities_per_frame=None, times=None,
                             scaling: str = "scaled", stride: int = 1,
                             fps: int = 10, dpi: int = 80):
     """GIF across frames (plot_velocity_fields_and_singularity_points_gif,
     draw_optical_flow_field.py:132-255). `times` adds the reference's
-    time-stamped titles (:194-255)."""
+    time-stamped titles (:194-255). Passing `true_singularities_per_frame`
+    produces the simulated-data true-vs-detected validation animation
+    (plot_velocity_fields_and_singularity_points_and_true_singularity_points
+    _gif, draw_optical_flow_field.py:258-319): detected points in red, ground
+    truth as blue triangles, per frame."""
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation, PillowWriter
 
@@ -115,8 +135,11 @@ def animate_velocity_fields(mesh, v_world, save_path, scalars=None,
                  else f"frame {k}")
         sing = (singularities_per_frame[k]
                 if singularities_per_frame is not None else None)
+        true = (true_singularities_per_frame[k]
+                if true_singularities_per_frame is not None else None)
         sc = scalars[k] if scalars is not None else None
         plot_velocity_frame(mesh, v_world[k], scalars=sc, singularities=sing,
+                            true_singularities=true,
                             scaling=scaling, stride=stride, title=title,
                             ax=ax)
 
@@ -125,6 +148,64 @@ def animate_velocity_fields(mesh, v_world, save_path, scalars=None,
     anim.save(str(save_path), writer=PillowWriter(fps=fps), dpi=dpi)
     plt.close(fig)
     return save_path
+
+
+def plot_spatial_modes(mesh, modes, n_modes: int = 4, scaling: str = "scaled",
+                       stride: int = 1, underlay=None, save_path_fmt=None,
+                       elev: float = 40.0, azim: float = -60.0):
+    """Render the leading spatial SVD modes as glyph plots (extract_modes +
+    calculate_V_k_from_complex, S4_spatiotemporal_decomposition_
+    ComplexMatrices .py:49-69,145-162): mode i draws sigma_i * VT_i recombined
+    into world vectors over the surface, titled with its energy percentage.
+
+    Accepts modes from either decomposition: complex (K, N) spatial rows or
+    the concatenated-real (K, 2N) form (converted via concat_modes_to_complex,
+    ConcatMatrices :194-197). `underlay` threads through to the pial-surface
+    context plot. Returns the list of figures; `save_path_fmt` (with a
+    `{mode}` field) also writes one PNG per mode.
+    """
+    from manifold_flow_tpu.ops.svd import concat_modes_to_complex, mode_to_world
+
+    vt = np.asarray(modes.vt)
+    sigma = np.asarray(modes.sigma)
+    if not np.iscomplexobj(vt):
+        vt = np.asarray(concat_modes_to_complex(vt))
+    basis = np.asarray(mesh.basis)
+    energy = 100.0 * sigma**2 / np.sum(np.asarray(modes.sigma) ** 2)
+    figs = []
+    k = min(n_modes, vt.shape[0])
+    for i in range(k):
+        world = np.asarray(mode_to_world(sigma[i] * vt[i], basis)).real
+        fig = plot_velocity_frame(
+            mesh, world, scaling=scaling, stride=stride,
+            title=f"mode {i + 1} ({energy[i]:.1f}%)",
+            elev=elev, azim=azim, underlay=underlay)
+        if save_path_fmt is not None:
+            path = Path(str(save_path_fmt).format(mode=i + 1))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(path, dpi=120)
+        figs.append(fig)
+    return figs
+
+
+def load_pial_surfaces(*paths):
+    """Load FreeSurfer pial surfaces for the translucent context underlay
+    (plot_pial_surfaces, S4_...ConcatMatrices .py:147-158, which uses
+    mne.read_surface). Uses MNE when available, else the built-in
+    FreeSurfer-binary reader (utils.io.read_freesurfer_surface). Returns a
+    list of (verts, faces) suitable for `underlay=`."""
+    out = []
+    for p in paths:
+        try:
+            import mne
+
+            verts, faces = mne.read_surface(str(p))
+        except ImportError:
+            from manifold_flow_tpu.utils.io import read_freesurfer_surface
+
+            verts, faces = read_freesurfer_surface(p)
+        out.append((np.asarray(verts), np.asarray(faces)))
+    return out
 
 
 def plot_temporal_modes(times, vt, sigma, n_modes: int = 4, save_path=None):

@@ -228,6 +228,46 @@ def test_cli_demo_end_to_end(tmp_path):
     assert (tmp_path / "singularity_points.pkl").exists()
 
 
+def test_cli_visualize_and_render_modes(tmp_path, demo_problem):
+    """In-process CLI: true-vs-detected PNG/GIF with a pial underlay, and
+    decompose --render-modes spatial-mode glyph PNGs (VERDICT r1 #5)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from manifold_flow_tpu.pipeline import cli
+
+    mesh, pot, times, truth = demo_problem
+    cfg = PipelineConfig()
+    io.write_ply(tmp_path / "surface.ply", np.asarray(mesh.points),
+                 np.asarray(mesh.triangles))
+    vel = stages.velocity_stage(mesh, pot, times, cfg,
+                                e_path=tmp_path / "e.csv",
+                                v_k_path=tmp_path / "V_k.csv")
+    pts, _ = stages.singularity_stage(mesh, vel.v_world, cfg,
+                                      save_path=tmp_path / "sing.pkl")
+    io.save_pickle(tmp_path / "true.pkl", [np.asarray(truth)] * len(pts))
+    io.write_freesurfer_surface(
+        tmp_path / "lh.pial", np.asarray(mesh.points) * 1.5,
+        np.asarray(mesh.triangles))
+
+    base = ["visualize", "--surface", str(tmp_path / "surface.ply"),
+            "--e", str(tmp_path / "e.csv"), "--v-k", str(tmp_path / "V_k.csv"),
+            "--singularities", str(tmp_path / "sing.pkl"),
+            "--true-singularities", str(tmp_path / "true.pkl"),
+            "--out-dir", str(tmp_path), "--stride", "4"]
+    cli.main(base + ["--frame", "1", "--pial", str(tmp_path / "lh.pial")])
+    assert (tmp_path / "velocity_frame_1.png").stat().st_size > 0
+    cli.main(base + ["--gif"])
+    assert (tmp_path / "true_vs_detected.gif").stat().st_size > 0
+
+    cli.main(["decompose", "--v-k", str(tmp_path / "V_k.csv"),
+              "--surface", str(tmp_path / "surface.ply"),
+              "--render-modes", "2", "--pial", str(tmp_path / "lh.pial"),
+              "--out-dir", str(tmp_path)])
+    assert (tmp_path / "spatial_mode_1.png").stat().st_size > 0
+    assert (tmp_path / "spatial_mode_2.png").stat().st_size > 0
+
+
 def test_interpolate_stage_phases_quirk_axis(demo_problem):
     """config.reference_quirks switches the Hilbert transform to scipy's
     default axis=-1 — the ELECTRODE axis the reference actually uses
