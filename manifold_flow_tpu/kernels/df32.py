@@ -17,8 +17,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for 24-bit mantissa splits
+# 2^12 + 1 for 24-bit mantissa splits. A numpy (not jnp) scalar: a concrete
+# device array at module scope would initialize the XLA backend at import
+# time, which breaks jax.distributed.initialize ordering for multi-host runs.
+_SPLITTER = np.float32(4097.0)
 
 
 class DF(NamedTuple):

@@ -27,6 +27,8 @@ def initialize(coordinator_address: str | None = None,
     """
     import jax
 
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -1,0 +1,283 @@
+"""Batch orchestration over a subjects/runs/trials results tree.
+
+The reference's de-facto cluster layer is argv-sharded loops over a shared
+results tree: one Slurm task per subject walks run folders
+(S2_interpolate.py:79-102), and one task per (subject, run, trial) runs each
+analysis script (S5_compute_wave_v.py:264-300, S7_winding_line.py:205-261).
+Resume is implicit: a re-run recreates whatever artifacts are missing.
+
+This module is that layer as a real driver. It discovers trials under the
+reference's tree layout
+
+    <root>/<subject>/*reconstructed_surface.ply
+    <root>/<subject>/run-<NNN>/<trial>/*interpolation_data.csv
+    <root>/<subject>/run-<NNN>/<trial>/*interpolation_phases_data.csv  (opt.)
+
+then, for each trial, runs the device stages S3 (flow + singularities),
+S4 (SVD), S5 (wave speeds, when a phases movie exists), S6 (streamlines) and
+S7 (winding lines), writing artifacts next to the inputs and SKIPPING any
+stage whose artifacts already exist (resume-by-presence, matching the
+reference's re-run behavior). Trials are sharded deterministically across
+hosts — trial i belongs to shard (i % num_shards) — either from explicit
+shard arguments (the reference's argv sharding) or from jax.distributed
+process indices (parallel.multihost.initialize). Per-trial isolation: one
+failing trial is recorded and the sweep continues (the reference's only
+failure mechanism is per-run isolation in S0, S0_preprocess.py:169-172).
+
+S0-S2 (MNE preprocessing, surface reconstruction, RBF interpolation from
+evokeds) are host-side, per-subject steps with their own CLI subcommands;
+the batch driver starts where per-trial device work starts: interpolated
+vertex movies.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEVICE_STAGES = ("flow", "decompose", "wavespeed", "streamline", "winding")
+
+# Artifacts each stage produces inside the trial directory; a stage is
+# "done" (skippable) when every one of them exists.
+_STAGE_ARTIFACTS = {
+    "flow": ("V_k.csv", "singularity_points.pkl",
+             "wave_velocity_opticalflow.pkl.bz2"),
+    "decompose": ("data_01.npz",),
+    "wavespeed": ("wave_velocity_phase.pkl.bz2",),
+    "streamline": ("streamlines.pkl.bz2",),
+    "winding": ("winding_lines.pkl.bz2",),
+}
+
+
+class TrialRef(NamedTuple):
+    subject: str
+    run: str
+    trial: str
+    trial_dir: Path
+    surface_path: Path
+    movie_path: Path            # interpolated potentials (T, N) csv
+    phases_path: Path | None    # interpolated phases csv, if present
+
+    @property
+    def key(self) -> str:
+        return f"{self.subject}/{self.run}/{self.trial}"
+
+
+def _find_surface(subject_dir: Path) -> Path | None:
+    hits = sorted(subject_dir.glob("*reconstructed_surface.ply"))
+    return hits[0] if hits else None
+
+
+def discover_trials(root, subjects: Sequence[str] | None = None):
+    """Walk the results tree and return every runnable trial, sorted.
+
+    Mirrors the reference's run-folder walk (S2_interpolate.py:79-102):
+    subjects are the top-level folders, runs match run-*, and a trial is any
+    run subfolder holding an interpolated movie."""
+    root = Path(root)
+    out = []
+    for subject_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+        if subjects and subject_dir.name not in subjects:
+            continue
+        surface = _find_surface(subject_dir)
+        if surface is None:
+            logger.warning("batch: %s has no reconstructed surface; skipped",
+                           subject_dir.name)
+            continue
+        for run_dir in sorted(subject_dir.glob("run-*")):
+            if not run_dir.is_dir():
+                continue
+            for trial_dir in sorted(p for p in run_dir.iterdir()
+                                    if p.is_dir()):
+                movies = sorted(trial_dir.glob("*interpolation_data.csv"))
+                if not movies:
+                    continue
+                phases = sorted(
+                    trial_dir.glob("*interpolation_phases_data.csv"))
+                out.append(TrialRef(
+                    subject=subject_dir.name, run=run_dir.name,
+                    trial=trial_dir.name, trial_dir=trial_dir,
+                    surface_path=surface, movie_path=movies[0],
+                    phases_path=phases[0] if phases else None))
+    return out
+
+
+def shard_trials(trials, num_shards: int, shard_index: int):
+    """Deterministic round-robin assignment: trial i -> shard i % num_shards
+    (the reference's manual one-argv-per-task split, made automatic)."""
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(
+            f"shard_index {shard_index} outside [0, {num_shards})")
+    return [t for i, t in enumerate(trials) if i % num_shards == shard_index]
+
+
+def _find_sfreq(trial: TrialRef) -> float | None:
+    """Sampling frequency from the nearest BIDS ieeg sidecar JSON — the
+    reference reads SamplingFrequency per run (S5_compute_wave_v.py:301-305).
+    Searches trial, run, then subject directory."""
+    for d in (trial.trial_dir, trial.trial_dir.parent,
+              trial.trial_dir.parent.parent):
+        for j in sorted(d.glob("*.json")):
+            try:
+                info = json.loads(j.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if isinstance(info, dict) and "SamplingFrequency" in info:
+                return float(info["SamplingFrequency"])
+    return None
+
+
+def stage_done(trial: TrialRef, stage: str) -> bool:
+    return all((trial.trial_dir / a).exists()
+               for a in _STAGE_ARTIFACTS[stage])
+
+
+def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
+              sfreq: float | None = None, overwrite: bool = False,
+              mesh_cache: dict | None = None, cache_dir=None) -> dict:
+    """Run the requested device stages for one trial; returns
+    {stage: 'done' | 'skipped'}. Stage inputs flow in memory; artifacts land
+    in the trial directory in the reference's formats."""
+    from manifold_flow_tpu.pipeline import stages as S
+    from manifold_flow_tpu.utils import io
+
+    result = {}
+    todo = [s for s in stages
+            if overwrite or not stage_done(trial, s)]
+    for s in stages:
+        if s not in todo:
+            result[s] = "skipped"
+    if not todo:
+        return result
+
+    if mesh_cache is not None and trial.surface_path in mesh_cache:
+        mesh = mesh_cache[trial.surface_path]
+    else:
+        mesh = S.load_surface(trial.surface_path, cache_dir=cache_dir)
+        if mesh_cache is not None:
+            mesh_cache[trial.surface_path] = mesh
+    d = trial.trial_dir
+
+    movie = None
+    vel = None
+
+    def get_movie():
+        nonlocal movie
+        if movie is None:
+            movie = io.load_indexed_csv(trial.movie_path)
+            if (config.solver.time_steps
+                    and movie.shape[0] > config.solver.time_steps):
+                movie = movie[: config.solver.time_steps]
+        return movie
+
+    def get_times(n):
+        f = sfreq if sfreq is not None else _find_sfreq(trial)
+        return (np.arange(n) / f if f
+                else np.arange(n, dtype=np.float64))
+
+    def get_velocity():
+        """v_world for S6/S7: from this run's flow stage, or reloaded from
+        the V_k.csv artifact of a previous (resumed) run."""
+        nonlocal vel
+        if vel is not None:
+            return vel.v_world
+        if stage_done(trial, "flow") and "flow" not in todo:
+            from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+            v_k = io.load_indexed_csv(d / "V_k.csv")
+            return np.asarray(velocity_to_world(v_k, mesh.basis))
+        raise RuntimeError(
+            f"{trial.key}: stage needs velocity fields but 'flow' neither "
+            "ran nor left artifacts; include 'flow' in stages")
+
+    for s in todo:
+        t0 = time.perf_counter()
+        if s == "flow":
+            m = get_movie()
+            vel = S.velocity_stage(
+                mesh, m, get_times(m.shape[0]), config,
+                e_path=trial.surface_path.parent / "e.csv",
+                v_k_path=d / "V_k.csv",
+                speed_path=d / "wave_velocity_opticalflow.pkl.bz2")
+            S.singularity_stage(mesh, vel.v_world, config,
+                                save_path=d / "singularity_points.pkl")
+        elif s == "decompose":
+            if vel is not None:
+                v_k = vel.v_k
+            else:
+                v_k = io.load_indexed_csv(d / "V_k.csv") if (
+                    d / "V_k.csv").exists() else None
+            if v_k is None:
+                raise RuntimeError(f"{trial.key}: decompose needs V_k.csv")
+            S.decompose_stage(v_k, config, mode="concat",
+                              npz_path=d / "data_01.npz")
+        elif s == "wavespeed":
+            if trial.phases_path is None:
+                result[s] = "skipped"
+                continue
+            phases = io.load_indexed_csv(trial.phases_path)
+            f = sfreq if sfreq is not None else _find_sfreq(trial)
+            S.wavespeed_stage(mesh, phases, dt=1.0 / f if f else 1.0,
+                              method="phase",
+                              save_path=d / "wave_velocity_phase.pkl.bz2")
+        elif s == "streamline":
+            lines = S.streamline_stage(mesh, get_velocity(), config)
+            io.save_pickle(d / "streamlines.pkl.bz2", lines)
+        elif s == "winding":
+            pts = io.load_pickle(d / "singularity_points.pkl")
+            S.winding_stage(mesh, get_velocity(), pts, config,
+                            save_path=d / "winding_lines.pkl.bz2")
+        else:
+            raise ValueError(f"unknown batch stage {s!r}")
+        result[s] = "done"
+        logger.info("batch: %s %s done in %.2fs", trial.key, s,
+                    time.perf_counter() - t0)
+    return result
+
+
+def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
+              subjects: Sequence[str] | None = None,
+              sfreq: float | None = None, overwrite: bool = False,
+              num_shards: int | None = None, shard_index: int | None = None,
+              distributed: bool = False, cache_dir=None) -> dict:
+    """Run `stages` for every trial under `root` owned by this shard.
+
+    distributed=True wires jax.distributed (parallel.multihost) and derives
+    the shard from jax.process_index()/process_count(); explicit
+    num_shards/shard_index reproduce the reference's manual argv sharding.
+    Returns {"trials": {key: {stage: status}}, "errors": {key: message},
+    "shard": [index, count]}.
+    """
+    if distributed:
+        from manifold_flow_tpu.parallel import multihost
+        import jax
+
+        multihost.initialize()
+        num_shards = jax.process_count()
+        shard_index = jax.process_index()
+    num_shards = num_shards or 1
+    shard_index = shard_index or 0
+
+    trials = discover_trials(root, subjects=subjects)
+    mine = shard_trials(trials, num_shards, shard_index)
+    report = {"trials": {}, "errors": {},
+              "shard": [shard_index, num_shards],
+              "discovered": len(trials)}
+    mesh_cache: dict = {}
+    for trial in mine:
+        try:
+            report["trials"][trial.key] = run_trial(
+                trial, config, stages=stages, sfreq=sfreq,
+                overwrite=overwrite, mesh_cache=mesh_cache,
+                cache_dir=cache_dir)
+        except Exception as e:  # per-trial isolation: record and continue
+            logger.exception("batch: trial %s failed", trial.key)
+            report["errors"][trial.key] = f"{type(e).__name__}: {e}"
+    return report

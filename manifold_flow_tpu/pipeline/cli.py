@@ -254,6 +254,25 @@ def cmd_visualize(args):
                           "frame": k}))
 
 
+def cmd_batch(args):
+    """Batch driver over a subjects/runs/trials results tree (the
+    reference's argv-sharded Slurm loops, S2:79-102, S5:264-300, S7:205-261),
+    with resume-by-artifact-presence and host sharding."""
+    from manifold_flow_tpu.pipeline import batch
+
+    cfg = _load_config(args)
+    report = batch.run_batch(
+        args.root, cfg, stages=tuple(args.stages),
+        subjects=args.subjects or None, sfreq=args.sfreq,
+        overwrite=args.overwrite, num_shards=args.num_shards,
+        shard_index=args.shard_index, distributed=args.distributed,
+        cache_dir=args.cache_dir)
+    print(json.dumps({"stage": "batch", **report}))
+    if report["errors"]:
+        return 1
+    return 0
+
+
 def cmd_demo(args):
     """End-to-end on synthetic data: surface -> movie -> flow -> detection."""
     from manifold_flow_tpu.geometry import synthetic
@@ -408,6 +427,31 @@ def build_parser():
     sp.add_argument("--scaling", default="scaled", choices=["raw", "scaled"])
     sp.add_argument("--stride", type=int, default=1)
     sp.set_defaults(func=cmd_visualize)
+
+    sp = sub.add_parser("batch",
+                        help="walk a results tree; run device stages per "
+                             "trial with resume + host sharding")
+    _add_common(sp)
+    sp.add_argument("--root", required=True,
+                    help="results tree root: <root>/<subject>/run-*/<trial>/")
+    sp.add_argument("--stages", nargs="*",
+                    default=["flow", "decompose", "wavespeed", "streamline",
+                             "winding"],
+                    choices=["flow", "decompose", "wavespeed", "streamline",
+                             "winding"])
+    sp.add_argument("--subjects", nargs="*", default=None)
+    sp.add_argument("--sfreq", type=float, default=None,
+                    help="overrides the BIDS sidecar SamplingFrequency")
+    sp.add_argument("--overwrite", action="store_true",
+                    help="re-run stages whose artifacts already exist")
+    sp.add_argument("--num-shards", type=int, default=None)
+    sp.add_argument("--shard-index", type=int, default=None)
+    sp.add_argument("--distributed", action="store_true",
+                    help="derive the shard from jax.distributed "
+                         "process_index/process_count")
+    sp.add_argument("--cache-dir", default=None,
+                    help="geometry-precompute cache directory")
+    sp.set_defaults(func=cmd_batch)
 
     sp = sub.add_parser("demo", help="synthetic end-to-end run + validation")
     _add_common(sp)

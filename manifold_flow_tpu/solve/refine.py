@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from manifold_flow_tpu.fem.df_operator import make_df_operator
 from manifold_flow_tpu.fem.operator import FlowOperator, block_jacobi_inverse
@@ -37,7 +38,10 @@ class RefineResult(NamedTuple):
     iterations: jnp.ndarray  # () int32 — total inner CG iterations
     residual: jnp.ndarray    # (T,) final |f - A x|
     converged: jnp.ndarray   # (T,) bool
-    outer_steps: jnp.ndarray = jnp.int32(0)  # () refinement steps executed
+    # numpy (not jnp) default: a concrete device array evaluated at class
+    # creation would initialize the XLA backend at import time, breaking
+    # jax.distributed.initialize ordering for multi-host runs.
+    outer_steps: jnp.ndarray = np.int32(0)  # () refinement steps executed
 
 
 @partial(jax.jit, static_argnames=("lambda_", "max_iter", "refine_steps",

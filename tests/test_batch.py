@@ -1,0 +1,187 @@
+"""Batch driver over a synthetic two-subject results tree (VERDICT r1 #6).
+
+The tree mirrors the reference's results layout
+(<root>/<subject>/run-*/<trial>/, S2_interpolate.py:79-102); the tests cover
+discovery, full runs, resume-by-artifact-presence, deterministic host
+sharding, per-trial failure isolation, and the jax.distributed-derived shard.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from manifold_flow_tpu.geometry import synthetic
+from manifold_flow_tpu.pipeline import batch
+from manifold_flow_tpu.pipeline.config import PipelineConfig
+from manifold_flow_tpu.utils import io
+
+
+def _write_trial(trial_dir, mesh, phases=False, n_frames=5, seed=0):
+    trial_dir.mkdir(parents=True, exist_ok=True)
+    pot, times, _ = synthetic.two_source_movie(
+        mesh, sources=((2.0, 2.0), (6.0, 6.0)), n_frames=n_frames)
+    io.save_indexed_csv(
+        trial_dir / "sub_task-interpolation_data.csv", np.asarray(pot))
+    if phases:
+        rng = np.random.default_rng(seed)
+        io.save_indexed_csv(
+            trial_dir / "sub_task-interpolation_phases_data.csv",
+            rng.uniform(-np.pi, np.pi, size=np.asarray(pot).shape))
+    return times
+
+
+@pytest.fixture(scope="module")
+def results_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("results")
+    meshes = {}
+    for subject, trials in (("sub-01", [("run-001", "E1-E2"),
+                                        ("run-001", "E3-E4")]),
+                            ("sub-02", [("run-002", "F1-F2")])):
+        mesh = synthetic.plane_patch(
+            nx=12, ny=12, lx=8.0, ly=8.0,
+            height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+        meshes[subject] = mesh
+        subj_dir = root / subject
+        subj_dir.mkdir()
+        io.write_ply(subj_dir / f"{subject}_reconstructed_surface.ply",
+                     np.asarray(mesh.points), np.asarray(mesh.triangles))
+        for i, (run, trial) in enumerate(trials):
+            _write_trial(root / subject / run / trial, mesh,
+                         phases=(subject == "sub-01" and i == 0), seed=i)
+        # BIDS sidecar at the subject level provides SamplingFrequency
+        # (the reference reads it per run, S5_compute_wave_v.py:301-305).
+        (subj_dir / f"{subject}_ieeg.json").write_text(
+            json.dumps({"SamplingFrequency": 512}))
+    return root, meshes
+
+
+def test_discover_and_shard(results_tree):
+    root, _ = results_tree
+    trials = batch.discover_trials(root)
+    assert [t.key for t in trials] == [
+        "sub-01/run-001/E1-E2", "sub-01/run-001/E3-E4",
+        "sub-02/run-002/F1-F2"]
+    assert trials[0].phases_path is not None
+    assert trials[1].phases_path is None
+    # Round-robin shards are disjoint and cover everything.
+    s0 = batch.shard_trials(trials, 2, 0)
+    s1 = batch.shard_trials(trials, 2, 1)
+    assert {t.key for t in s0} | {t.key for t in s1} == {
+        t.key for t in trials}
+    assert not {t.key for t in s0} & {t.key for t in s1}
+    with pytest.raises(ValueError):
+        batch.shard_trials(trials, 2, 2)
+    # Subject filter.
+    only = batch.discover_trials(root, subjects=["sub-02"])
+    assert [t.key for t in only] == ["sub-02/run-002/F1-F2"]
+
+
+def test_run_batch_full_then_resume(results_tree):
+    root, _ = results_tree
+    cfg = PipelineConfig()
+    report = batch.run_batch(root, cfg)
+    assert report["errors"] == {}
+    assert report["discovered"] == 3
+    assert set(report["trials"]) == {
+        "sub-01/run-001/E1-E2", "sub-01/run-001/E3-E4",
+        "sub-02/run-002/F1-F2"}
+    t1 = report["trials"]["sub-01/run-001/E1-E2"]
+    assert t1 == {s: "done" for s in batch.DEVICE_STAGES}
+    # No phases movie -> wavespeed skipped for the second trial.
+    assert report["trials"]["sub-01/run-001/E3-E4"]["wavespeed"] == "skipped"
+    assert report["trials"]["sub-01/run-001/E3-E4"]["winding"] == "done"
+    # Artifacts landed in the reference's formats.
+    tdir = root / "sub-01/run-001/E1-E2"
+    for name in ("V_k.csv", "singularity_points.pkl",
+                 "wave_velocity_opticalflow.pkl.bz2", "data_01.npz",
+                 "wave_velocity_phase.pkl.bz2", "streamlines.pkl.bz2",
+                 "winding_lines.pkl.bz2"):
+        assert (tdir / name).exists(), name
+    assert (root / "sub-01" / "e.csv").exists()
+
+    # Resume: a second sweep skips every stage of every trial.
+    report2 = batch.run_batch(root, cfg)
+    assert report2["errors"] == {}
+    for key, st in report2["trials"].items():
+        assert set(st.values()) == {"skipped"}, (key, st)
+
+
+def test_run_batch_sharded_and_stage_subset(results_tree, tmp_path):
+    root, _ = results_tree
+    cfg = PipelineConfig()
+    # Shard 1 of 2 owns exactly the middle trial (round-robin).
+    report = batch.run_batch(root, cfg, stages=("flow",), num_shards=2,
+                             shard_index=1)
+    assert list(report["trials"]) == ["sub-01/run-001/E3-E4"]
+    assert report["shard"] == [1, 2]
+
+
+def test_downstream_stage_resumes_from_artifacts(results_tree):
+    """streamline/winding on a trial whose flow artifacts exist on disk but
+    not in memory (fresh process resume)."""
+    root, _ = results_tree
+    cfg = PipelineConfig()
+    trials = batch.discover_trials(root)
+    res = batch.run_trial(trials[2], cfg, stages=("streamline", "winding"),
+                          overwrite=True)
+    assert res == {"streamline": "done", "winding": "done"}
+
+
+def test_per_trial_isolation(tmp_path):
+    """A corrupt trial is recorded in errors; the sweep continues."""
+    mesh = synthetic.plane_patch(nx=10, ny=10, lx=6.0, ly=6.0)
+    root = tmp_path / "results"
+    subj = root / "sub-03"
+    subj.mkdir(parents=True)
+    io.write_ply(subj / "sub-03_reconstructed_surface.ply",
+                 np.asarray(mesh.points), np.asarray(mesh.triangles))
+    _write_trial(subj / "run-001" / "good", mesh)
+    bad = subj / "run-001" / "bad"
+    bad.mkdir(parents=True)
+    (bad / "x-interpolation_data.csv").write_text("not,a,movie\n1,2,oops\n")
+    report = batch.run_batch(root, PipelineConfig(), stages=("flow",))
+    assert list(report["errors"]) == ["sub-03/run-001/bad"]
+    assert report["trials"]["sub-03/run-001/good"]["flow"] == "done"
+
+
+def test_distributed_shard_derivation(results_tree):
+    """distributed=True derives the shard from jax.distributed; exercised
+    single-process (process_count == 1 owns every trial). Runs in a
+    subprocess because jax.distributed.initialize must precede any backend
+    initialization."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    root, _ = results_tree
+    script = textwrap.dedent(f"""
+        import socket
+        from manifold_flow_tpu.parallel import multihost
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                             num_processes=1, process_id=0)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from manifold_flow_tpu.pipeline import batch
+        from manifold_flow_tpu.pipeline.config import PipelineConfig
+        report = batch.run_batch({str(root)!r}, PipelineConfig(),
+                                 stages=("flow",), distributed=True)
+        assert report["shard"] == [0, 1], report["shard"]
+        assert len(report["trials"]) == 3, report
+        assert multihost.is_primary()
+        multihost.sync_hosts()
+        print("DISTRIBUTED_OK")
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The image's sitecustomize registers a remote-TPU PJRT plugin at
+    # interpreter start, which initializes the XLA backend before
+    # jax.distributed.initialize could run; it is gated on this env var.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DISTRIBUTED_OK" in out.stdout
