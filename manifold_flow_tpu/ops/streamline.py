@@ -157,60 +157,56 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
 
     The next hop depends only on the current vertex, so the hop table is a
     FUNCTIONAL GRAPH (halting vertices made self-loops): every walk is a
-    rho-shaped path, and the no-revisit stop (S6:39-49) fires exactly on
-    first re-entering the cycle. Walk length is therefore tail + cycle
-    length, computed with Floyd cycle detection — three masked O(1)-state
-    pointer scans — instead of an O(max_steps)-wide membership test per
-    step. That test made streamline tracing the one analysis stage far above
-    the dispatch-latency floor (~29 ms/frame at reference scale).
+    rho-shaped path, and the no-revisit stop (S6:39-49) fires exactly on the
+    first repeated vertex. The walk sequences are materialized by POINTER
+    DOUBLING — seq[:, :2^k] extends to seq[:, :2^(k+1)] through the squared
+    jump table f^(2^k) — so the whole movie needs only log2(max_steps)
+    sequential gather rounds instead of O(max_steps) scan steps (sequential
+    tiny-kernel scans made this stage ~50x slower than every other analysis
+    op at reference scale: 18 fps vs a ~2500 fps detection pass). The
+    first-repeat step (= walk length) comes from ONE stable sort of
+    (vertex, step) pairs along the step axis.
     """
     n = mesh.n_vertices
     idx = jnp.arange(n, dtype=jnp.int32)
     next_tab, ok_tab = _next_hop_tables(mesh, v_world_frame, quirks=quirks)
     f = jnp.where(ok_tab, next_tab, idx)          # halting => fixed point
 
-    # Floyd phase 1: tortoise/hare until they meet (within the step cap).
-    def meet_step(state, _):
-        t, h, done = state
-        t2 = jnp.where(done, t, f[t])
-        h2 = jnp.where(done, h, f[f[h]])
-        return (t2, h2, done | (t2 == h2)), None
+    # Pointer doubling: seq (N, P) holds f^i[seed] for steps i = 0..P-1.
+    seq = idx[:, None]
+    jump = f
+    p = 1
+    while p < max_steps:
+        seq = jnp.concatenate([seq, jump[seq]], axis=1)
+        jump = jump[jump]
+        p *= 2
+    if p == max_steps:  # one extra column for step max_steps itself
+        seq = jnp.concatenate([seq, jump[idx][:, None]], axis=1)
+    seq = seq[:, : max_steps + 1]                          # (N, L+1)
 
-    t0 = f[idx]
-    h0 = f[t0]
-    (t, _, done), _ = jax.lax.scan(
-        meet_step, (t0, h0, t0 == h0), None, length=max_steps)
+    # Walk length = first step whose vertex already occurred. Sorting
+    # (vertex, step) pairs puts steps ascending within equal-vertex runs, so
+    # every non-first element of a run is a revisit; the earliest such step
+    # is the rho length mu + lam (or the cap when the walk never repeats
+    # in-window). One single-key sort of a composite integer beats the
+    # variadic two-operand sort when vertex * width fits int32.
+    width = max_steps + 2
+    steps = jnp.arange(max_steps + 1, dtype=jnp.int32)
+    if n * width <= jnp.iinfo(jnp.int32).max:
+        key = jax.lax.sort(seq * jnp.int32(width) + steps[None, :],
+                           dimension=1)
+        v_sorted = key // width
+        repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+        s_sorted = key[:, 1:] % width
+    else:  # >8M-vertex meshes: lexicographic two-operand sort
+        v_sorted, s_all = jax.lax.sort(
+            (seq, jnp.broadcast_to(steps, seq.shape)), dimension=1,
+            num_keys=2)
+        repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+        s_sorted = s_all[:, 1:]
+    lengths = jnp.min(
+        jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
 
-    # Phase 2: tail length mu; afterwards `a` is the cycle entry vertex.
-    def mu_step(state, _):
-        a, b, mu = state
-        go = a != b
-        return (jnp.where(go, f[a], a), jnp.where(go, f[b], b),
-                mu + go.astype(jnp.int32)), None
-
-    (a, _, mu), _ = jax.lax.scan(
-        mu_step, (idx, t, jnp.zeros(n, jnp.int32)), None, length=max_steps)
-
-    # Phase 3: cycle length lam (1 for halting fixed points).
-    def lam_step(state, _):
-        b, lam = state
-        go = b != a
-        return (jnp.where(go, f[b], b), lam + go.astype(jnp.int32)), None
-
-    (_, lam), _ = jax.lax.scan(
-        lam_step, (f[a], jnp.ones(n, jnp.int32)),
-        None, length=max_steps)
-
-    lengths = jnp.minimum(jnp.where(done, mu + lam, max_steps + 1),
-                          max_steps + 1)
-
-    # One recording chase, masked to the computed lengths.
-    def rec_step(cur, _):
-        nxt = f[cur]
-        return nxt, nxt
-
-    _, seq = jax.lax.scan(rec_step, idx, None, length=max_steps)
-    seq = jnp.concatenate([idx[None], seq], axis=0).T      # (N, L+1)
     slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, :]
     visited = jnp.where(slot < lengths[:, None], seq, PAD_INDEX)
     return Streamlines(vertices=visited.astype(jnp.int32), lengths=lengths)

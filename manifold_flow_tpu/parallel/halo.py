@@ -743,7 +743,7 @@ def halo_refined_velocity_fields(
     device_mesh: Mesh,
     lambda_: float = 0.01,
     tol: float = 1e-8,
-    inner_tol: float = 1e-5,
+    inner_tol: float = 1e-3,
     max_iter: int = 2000,
     refine_steps: int = 8,
     precond: str = "auto",

@@ -21,6 +21,10 @@ class SolverConfig:
     time_steps: int = 98           # config.yaml:5
     method: str = "auto"           # 'auto' | 'cg' | 'cholesky' | 'refined'
     tol: float = 1e-8
+    # Inner f32 PCG tolerance of the refined method; the true per-outer-step
+    # reduction floors at ~cond*eps_f32, so 1e-3 matches 1e-5's outer-step
+    # count with ~45% fewer iterations (solve/refine.py).
+    inner_tol: float = 1e-3
     max_iter: int = 2000
     # Frames that fail `tol` at max_iter are re-solved with the refined
     # (two-float32, direct-solver-accuracy) method before warning; set False
@@ -131,7 +135,8 @@ class PipelineConfig:
         gen = raw.pop("general", {}) or {}
         for key, attr in [("lambda_", "lambda_"), ("eps", "eps"),
                           ("time_steps", "time_steps"), ("method", "method"),
-                          ("tol", "tol"), ("max_iter", "max_iter")]:
+                          ("tol", "tol"), ("inner_tol", "inner_tol"),
+                          ("max_iter", "max_iter")]:
             if key in gen:
                 val = gen[key]
                 setattr(cfg.solver, attr,

@@ -182,7 +182,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         return compute_velocity_fields(
             mesh, jnp.asarray(potentials), jnp.asarray(times),
             lambda_=config.solver.lambda_, method=method,
-            tol=config.solver.tol, max_iter=config.solver.max_iter)
+            tol=config.solver.tol, inner_tol=config.solver.inner_tol,
+            max_iter=config.solver.max_iter)
 
     res = run(config.solver.method)
     conv = np.asarray(res.converged)

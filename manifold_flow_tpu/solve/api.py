@@ -65,6 +65,8 @@ def compute_velocity_fields(
     precond: str = "auto",
     coarse_passes: int | None = None,
     coarse_a1: str = "full",
+    inner_tol: float = 1e-3,
+    anchor_stride: int = 1,
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
 
@@ -94,6 +96,15 @@ def compute_velocity_fields(
         per-frame), 'mean' (time-averaged, one shared coarse matrix; cheaper
         build/apply, mildly more iterations), or 'none' (regularization only;
         weak — kept for experiments).
+      inner_tol: (refined method) relative tolerance of each f32 inner PCG
+        solve; the true per-outer-step reduction floors at ~cond * eps_f32,
+        so 1e-3 matches 1e-5's outer-step count with ~45% fewer iterations
+        (see solve.refine.solve_refined).
+      anchor_stride: (refined method) temporal warm start: solve every
+        s-th frame first and start the full solve from the time-interpolated
+        anchors. Measured a net LOSS on single-chip at reference scale
+        (small-batch iterations are overhead-bound, not bandwidth-bound);
+        kept for large-mesh/multi-chip regimes. 1 (default) disables.
     """
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
@@ -138,6 +149,7 @@ def compute_velocity_fields(
                 f"pass float64 inputs); got {potentials.dtype}")
         res = solve_refined(mesh, potentials, times, lambda_=lambda_,
                             tol=tol, max_iter=max_iter,
+                            inner_tol=inner_tol, anchor_stride=anchor_stride,
                             potentials_next=potentials_next,
                             coarse_tables=tables, coarse_a1=coarse_a1)
         return VelocityResult(res.x, mesh.basis, res.iterations,

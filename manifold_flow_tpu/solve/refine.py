@@ -20,6 +20,7 @@ input splits touch f64. Requires x64 mode for the f64 inputs/outputs.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -45,13 +46,14 @@ class RefineResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("lambda_", "max_iter", "refine_steps",
-                                   "coarse_a1"))
+                                   "coarse_a1", "anchor_stride"))
 def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
                   lambda_: float = 0.01, tol: float = 1e-8,
-                  inner_tol: float = 1e-5, max_iter: int = 2000,
+                  inner_tol: float = 1e-3, max_iter: int = 2000,
                   refine_steps: int = 8,
                   potentials_next: jnp.ndarray | None = None,
-                  coarse_tables=None, coarse_a1: str = "full") -> RefineResult:
+                  coarse_tables=None, coarse_a1: str = "full",
+                  anchor_stride: int = 1) -> RefineResult:
     """Solve (a1_k + lambda a2) x_k = f_k for all frames to f64-grade accuracy.
 
     Args:
@@ -60,9 +62,23 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
       times: (T,) float64 frame times.
       tol: outer relative residual target |f - A x| / |f|.
       inner_tol: relative tolerance of each float32 PCG correction solve.
+        The f32 recurrence residual drifts from the true residual at the
+        ~cond(A) * eps_f32 ~ 1e-2 level, so the TRUE per-outer-step reduction
+        saturates near that floor no matter how tightly the inner solve
+        converges; 1e-3 reaches the same outer-step count as 1e-5 with ~45%
+        fewer inner iterations (measured on chip at reference scale:
+        195 -> 108 iterations, ~1.4x end-to-end, identical outer steps).
       max_iter: per-inner-solve iteration cap (static).
       refine_steps: outer iteration cap (static); the loop exits as soon as
         every frame passes `tol`.
+      anchor_stride: temporal warm start. With stride s > 1, first solve
+        every s-th frame (plus the last) at a relaxed tolerance, linearly
+        interpolate those anchor solutions over the frame index, and start
+        the full-movie refinement from that iterate. Velocity fields vary
+        slowly frame-to-frame (the movie oversamples the wave), so the
+        interpolant starts orders of magnitude closer than zero and the
+        outer loop sheds refinement steps; the anchor solve costs only
+        ~1/s of a full pass per outer step. 1 disables.
     """
     if potentials.dtype != jnp.float64:
         raise ValueError(
@@ -70,20 +86,66 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
             f"{potentials.dtype}")
     op_df, f_df = make_df_operator(mesh, potentials, times, lambda_,
                                    potentials_next=potentials_next)
-    return refine_loop(mesh, op_df, f_df, tol=tol, inner_tol=inner_tol,
-                       max_iter=max_iter, refine_steps=refine_steps,
-                       coarse_tables=coarse_tables, coarse_a1=coarse_a1)
+    x0 = None
+    anchor_iters = jnp.int32(0)
+    n_sys = potentials.shape[0] - 1
+    if anchor_stride > 1 and n_sys > anchor_stride:
+        x0, anchor_iters = _anchor_warm_start(
+            mesh, op_df, f_df, n_sys, anchor_stride,
+            # Anchors only need to be as accurate as the temporal
+            # interpolation error they seed; tol beyond that is wasted.
+            # (jnp.maximum: tol may be a traced value under jit.)
+            tol=jnp.maximum(jnp.asarray(tol), 1e-4), inner_tol=inner_tol,
+            max_iter=max_iter,
+            refine_steps=refine_steps, coarse_tables=coarse_tables,
+            coarse_a1=coarse_a1)
+    res = refine_loop(mesh, op_df, f_df, tol=tol, inner_tol=inner_tol,
+                      max_iter=max_iter, refine_steps=refine_steps,
+                      coarse_tables=coarse_tables, coarse_a1=coarse_a1,
+                      x0=x0)
+    return res._replace(iterations=res.iterations + anchor_iters)
+
+
+def _anchor_warm_start(mesh, op_df, f_df, n_sys: int, stride: int,
+                       **refine_kwargs):
+    """Solve anchor frames [0, s, 2s, ..., last], then linearly interpolate
+    their solutions over the frame index into a (T, 2N) starting iterate.
+    Returns (x0 DF, anchor inner-iteration count)."""
+    anchors = jnp.minimum(jnp.arange(0, n_sys + stride - 1, stride),
+                          n_sys - 1)                       # includes last
+    op_a = dataclasses.replace(
+        op_df, g=df32.DF(op_df.g.hi[anchors], op_df.g.lo[anchors]))
+    f_a = df32.DF(f_df.hi[anchors], f_df.lo[anchors])
+    res_a = refine_loop(mesh, op_a, f_a, **refine_kwargs)
+    xa = res_a.x                                           # (A, 2N) f64
+    # Piecewise-linear in the frame index (frames are uniformly sampled;
+    # index interpolation == time interpolation).
+    k = jnp.arange(n_sys)
+    pos = k / stride
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, xa.shape[0] - 1)
+    i1 = jnp.minimum(i0 + 1, xa.shape[0] - 1)
+    w = (pos - i0).astype(xa.dtype)[:, None]
+    # The last anchor sits at frame n_sys-1, not i0*stride: rescale the
+    # final segment's weight so interpolation stays exact at both ends.
+    seg_len = jnp.where(i1 * stride > n_sys - 1,
+                        jnp.maximum((n_sys - 1) - i0 * stride, 1), stride)
+    w = jnp.where((i1 * stride > n_sys - 1)[:, None],
+                  ((k - i0 * stride) / seg_len).astype(xa.dtype)[:, None], w)
+    x0 = (1.0 - w) * xa[i0] + w * xa[i1]
+    return df32.from_f64(x0), res_a.iterations
 
 
 def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
-                inner_tol: float = 1e-5, max_iter: int = 2000,
+                inner_tol: float = 1e-3, max_iter: int = 2000,
                 refine_steps: int = 8, coarse_tables=None,
-                coarse_a1: str = "full") -> RefineResult:
+                coarse_a1: str = "full",
+                x0: df32.DF | None = None) -> RefineResult:
     """The refinement iteration given a prebuilt DF operator + RHS.
 
     Factored out so parallel.partition can run it inside a shard_map with
     the frame axis sharded (frames are independent systems — each shard
-    iterates until its own frames converge)."""
+    iterates until its own frames converge). `x0` (a DF iterate, e.g. the
+    temporal warm start of solve_refined) replaces the zero start."""
     # Float32 operator + block-Jacobi preconditioner for the inner solves:
     # the hi components ARE the rounded-to-f32 operator.
     op32 = FlowOperator(
@@ -115,9 +177,14 @@ def refine_loop(mesh, op_df, f_df, tol: float = 1e-8,
         r = op_df.residual(f_df, x)
         return x, r, total_iters + inner.iterations, step + 1
 
-    zero = df32.DF(jnp.zeros_like(f_df.hi), jnp.zeros_like(f_df.hi))
+    if x0 is None:
+        start = df32.DF(jnp.zeros_like(f_df.hi), jnp.zeros_like(f_df.hi))
+        r_start = f_df
+    else:
+        start = x0
+        r_start = op_df.residual(f_df, x0)
     x, r, total_iters, steps = jax.lax.while_loop(
-        cond, body, (zero, f_df, jnp.int32(0), jnp.int32(0)))
+        cond, body, (start, r_start, jnp.int32(0), jnp.int32(0)))
 
     rn = jnp.linalg.norm(df32.to_f64(r), axis=-1)
     return RefineResult(x=df32.to_f64(x), iterations=total_iters, residual=rn,

@@ -110,6 +110,40 @@ def test_refined_reaches_float64_accuracy(curved_mesh, wave_movie):
     assert bool(np.all(np.asarray(res.converged)))
 
 
+def test_refined_anchor_warm_start_matches(curved_mesh, wave_movie):
+    """The temporal warm start (anchor solve + interpolation) must converge
+    to the same solution as the cold start, with the outer residual check
+    still enforced (solve.refine.solve_refined anchor_stride)."""
+    pot, times = wave_movie
+    base = compute_velocity_fields(
+        curved_mesh, jnp.asarray(pot, jnp.float64),
+        jnp.asarray(times, jnp.float64), method="refined", tol=1e-9)
+    warm = compute_velocity_fields(
+        curved_mesh, jnp.asarray(pot, jnp.float64),
+        jnp.asarray(times, jnp.float64), method="refined", tol=1e-9,
+        anchor_stride=2)
+    assert bool(np.all(np.asarray(warm.converged)))
+    scale = np.abs(np.asarray(base.v_k)).max()
+    assert np.max(np.abs(np.asarray(warm.v_k) - np.asarray(base.v_k))) \
+        < 1e-7 * scale
+
+
+def test_refined_inner_tol_accuracy_unchanged(curved_mesh, wave_movie):
+    """inner_tol only changes inner-iteration counts, not the delivered
+    accuracy: the outer DF-residual loop enforces tol either way."""
+    pot, times = wave_movie
+    want, _ = _oracle(curved_mesh, pot, times)
+    scale = np.maximum(np.abs(want).max(), 1e-30)
+    for it in (1e-5, 1e-3):
+        res = compute_velocity_fields(
+            curved_mesh, jnp.asarray(pot, jnp.float64),
+            jnp.asarray(times, jnp.float64), method="refined", tol=1e-9,
+            inner_tol=it)
+        rmse = np.sqrt(np.mean((np.asarray(res.v_k) - want) ** 2)) / scale
+        assert rmse < 1e-7, (it, rmse)
+        assert bool(np.all(np.asarray(res.converged)))
+
+
 def test_refined_rejects_float32_inputs(curved_mesh, wave_movie):
     pot, times = wave_movie
     with pytest.raises(ValueError, match="float64"):
