@@ -116,8 +116,12 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
         mesh, vv, ff, capacity=cap))
     out["classify_fps"] = t / _time_program(classify, v, field)
 
-    trace = jax.jit(lambda vv: stream_ops.trace_frames(
-        mesh, vv, max_steps=256))
+    # The stage entrypoint (adaptive window): device cost follows the
+    # longest actual walk, not the 256-step cap; includes the host-side
+    # cap check like production use.
+    def trace(vv):
+        return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256)
+
     out["streamline_fps"] = t / _time_program(trace, v)
 
     # Winding over the detected singularities at a common capacity (the

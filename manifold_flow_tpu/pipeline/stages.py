@@ -336,8 +336,10 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     v = np.asarray(v_world)
     frames = list(range(v.shape[0])) if frames is None else list(frames)
     # One device program traces every requested frame (per-frame dispatch
-    # would pay the remote-accelerator call latency per frame).
-    batched = stream_ops.trace_frames(
+    # would pay the remote-accelerator call latency per frame); the adaptive
+    # window keeps the gather volume proportional to the longest actual walk
+    # rather than the configured cap.
+    batched = stream_ops.trace_frames_adaptive(
         mesh, jnp.asarray(v[np.asarray(frames)]),
         max_steps=config.analysis.max_streamline_steps,
         quirks=config.reference_quirks)

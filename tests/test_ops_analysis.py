@@ -346,6 +346,25 @@ def test_streamline_walks_match_reference_rule(source_setup, quirk):
         np.testing.assert_array_equal(verts[seed, :len(want)], want)
 
 
+def test_streamline_adaptive_window_matches_fixed(source_setup):
+    """trace_frames_adaptive must equal the full-cap tracer, including when
+    the tiny initial window forces the escalation retrace."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:3])
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    for win in (2, 64):  # 2 forces escalation; 64 resolves in one pass
+        ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                               initial_window=win)
+        np.testing.assert_array_equal(np.asarray(ada.lengths),
+                                      np.asarray(full.lengths))
+        w = ada.vertices.shape[-1]
+        np.testing.assert_array_equal(np.asarray(ada.vertices),
+                                      np.asarray(full.vertices)[..., :w])
+        # Everything beyond the adaptive window is padding in the full run.
+        assert np.all(np.asarray(full.vertices)[..., w:] ==
+                      streamline.PAD_INDEX)
+
+
 def test_streamline_quirk_changes_boundary_walks():
     """The two modes must actually differ somewhere on a boundary-heavy
     random field (otherwise the quirk flag tests nothing) — and the quirk
