@@ -114,7 +114,9 @@ def cmd_flow(args):
     solve_s = time.perf_counter() - t0
     pts, labels = stages.singularity_stage(
         mesh, vel.v_world, cfg, classify=args.classify,
-        save_path=out / "singularity_points.pkl")
+        save_path=out / "singularity_points.pkl",
+        classification_path=(out / "singularity_points_classification.pkl"
+                             if args.classify else None))
     print(json.dumps({
         "stage": "flow", "frames": int(vel.v_k.shape[0]),
         "n_dof": int(vel.v_k.shape[1]), "solve_seconds": round(solve_s, 3),

@@ -236,12 +236,16 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
 
 
 def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
-                      classify: bool = False, save_path=None):
+                      classify: bool = False, save_path=None,
+                      classification_path=None):
     """S3 detection: per-frame singularity lists (+ classification).
 
     Returns (points_per_frame, labels_per_frame) where labels are
     reference-style strings; saves the reference's pickle format
-    (find_singularity_point.py:760-761)."""
+    (find_singularity_point.py:760-761). `classification_path` writes the
+    per-frame label lists — the artifact the reference's config names
+    (singularity_points_classification_path, config.yaml) whose write the
+    original left commented out (S3:145-156), realized here."""
     import jax.numpy as jnp
 
     v = jnp.asarray(v_world)
@@ -283,6 +287,9 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     if save_path is not None:
         io.ensure_dir(save_path)
         io.save_pickle(save_path, [list(p) for p in points_per_frame])
+    if classification_path is not None and classify:
+        io.ensure_dir(classification_path)
+        io.save_pickle(classification_path, labels_per_frame)
     return points_per_frame, (labels_per_frame if classify else None)
 
 

@@ -162,11 +162,16 @@ def test_singularity_stage(tmp_path, demo_problem):
     vel = stages.velocity_stage(mesh, pot, times, cfg)
     pts, labels = stages.singularity_stage(
         mesh, vel.v_world, cfg, classify=True,
-        save_path=tmp_path / "sing.pkl")
+        save_path=tmp_path / "sing.pkl",
+        classification_path=tmp_path / "classification.pkl")
     assert len(pts) == vel.v_k.shape[0]
     assert labels is not None and len(labels) == len(pts)
     saved = io.load_pickle(tmp_path / "sing.pkl")
     assert len(saved) == len(pts)
+    # The classification artifact the reference names in config.yaml but
+    # never writes (S3:145-156) round-trips as per-frame label lists.
+    cls = io.load_pickle(tmp_path / "classification.pkl")
+    assert cls == labels
 
 
 def test_decompose_stage(tmp_path, demo_problem):
