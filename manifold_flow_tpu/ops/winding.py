@@ -177,29 +177,32 @@ def scale_map(mesh: TriMesh, singularity_points, counts) -> jnp.ndarray:
     if pts.shape[0] == 0:
         return jnp.zeros((mesh.n_vertices,), dtype=jnp.float32)
     max_count = max(int(jnp.max(counts)), 1)  # one host sync, sizes the BFS
+    return _scale_values(mesh, pts, counts, max_count)
 
-    @partial(jax.jit, static_argnames=("max_level",))
-    def _all_values(points_q, cnts, max_level):
-        centers = topology.closest_vertex(mesh.points, points_q,
-                                          n_valid=mesh.valid_vertices)
-        levels = jax.vmap(
-            lambda c: topology.bfs_levels(mesh.vertex_neighbors, c,
-                                          max_level))(centers)   # (S, N)
-        c = cnts[:, None].astype(jnp.float32)
-        ring = jnp.where((levels >= 1) & (levels <= cnts[:, None]),
-                         c - (levels.astype(jnp.float32) - 1.0), 0.0)
-        vals = jax.vmap(lambda row, ctr, cc: row.at[ctr].set(cc + 1.0))(
-            ring, centers, cnts.astype(jnp.float32))             # (S, N)
-        # Last singularity whose value is nonzero wins (the reference's
-        # sequential overwrite); argmax of the row index among nonzero rows.
-        s = vals.shape[0]
-        written = vals != 0.0
-        last = jnp.argmax(
-            jnp.where(written, jnp.arange(s)[:, None], -1), axis=0)  # (N,)
-        out = jnp.take_along_axis(vals, last[None, :], axis=0)[0]
-        return jnp.where(jnp.any(written, axis=0), out, 0.0)
 
-    return _all_values(pts, counts, max_count)
+# Module-level jit (mesh is a pytree argument): a per-call closure would
+# retrace — and on a remote accelerator potentially recompile — on every
+# scale_map invocation.
+@partial(jax.jit, static_argnames=("max_level",))
+def _scale_values(mesh, points_q, cnts, max_level):
+    centers = topology.closest_vertex(mesh.points, points_q,
+                                      n_valid=mesh.valid_vertices)
+    levels = jax.vmap(
+        lambda c: topology.bfs_levels(mesh.vertex_neighbors, c,
+                                      max_level))(centers)   # (S, N)
+    c = cnts[:, None].astype(jnp.float32)
+    ring = jnp.where((levels >= 1) & (levels <= cnts[:, None]),
+                     c - (levels.astype(jnp.float32) - 1.0), 0.0)
+    vals = jax.vmap(lambda row, ctr, cc: row.at[ctr].set(cc + 1.0))(
+        ring, centers, cnts.astype(jnp.float32))             # (S, N)
+    # Last singularity whose value is nonzero wins (the reference's
+    # sequential overwrite); argmax of the row index among nonzero rows.
+    s = vals.shape[0]
+    written = vals != 0.0
+    last = jnp.argmax(
+        jnp.where(written, jnp.arange(s)[:, None], -1), axis=0)  # (N,)
+    out = jnp.take_along_axis(vals, last[None, :], axis=0)[0]
+    return jnp.where(jnp.any(written, axis=0), out, 0.0)
 
 
 @partial(jax.jit, static_argnames=("max_level",))

@@ -118,12 +118,28 @@ class HaloPartition:
 _PARTITION_CACHE: dict = {}
 
 
+def _content_key(*arrays) -> str:
+    """Content digest of host arrays — cache keys must not use id():
+    CPython recycles object ids, and pad_mesh deliberately buckets different
+    surfaces into identical shapes, so a stale id hit would silently return
+    another mesh's tables."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in arrays:
+        a = np.ascontiguousarray(np.asarray(a))
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def build_partition(mesh: TriMesh, n_shards: int) -> HaloPartition:
     """Build (and cache) the halo partition tables for `mesh`.
 
-    Host-side numpy, once per (mesh, n_shards); requires concrete topology.
+    Host-side numpy, once per (mesh content, n_shards); requires concrete
+    topology.
     """
-    key = (id(mesh.triangles), n_shards)
+    key = (_content_key(mesh.triangles, mesh.points), n_shards)
     hit = _PARTITION_CACHE.get(key)
     if hit is not None:
         return hit
@@ -311,8 +327,7 @@ def _rhs_owned(op: HaloOperator, g, di_tri, areas_l):
     return op.reduce_owned(f_loc.reshape(t, -1, 6))
 
 
-def _diag_owned(op: HaloOperator, g, basis_c, grad_l, areas_l, lambda_,
-                base3):
+def _diag_owned(g, basis_c, grad_l, areas_l, lambda_, base3):
     """Inverted per-owned-vertex 2x2 Jacobi blocks (T, Vo, 2, 2)."""
     from manifold_flow_tpu.fem.operator import invert_2x2_blocks
 
@@ -464,7 +479,7 @@ def halo_compute_velocity_fields(
                 lambda_=lam, base6=b6[0], send_idx=snd[0], halo_src=hsrc[0],
                 v_owned=vo, v_halo=vh)
             f = _rhs_owned(op, g, di_tri, ar[0])
-            diag = _diag_owned(op, g, bc[0], gr[0], ar[0], lam, b3[0])
+            diag = _diag_owned(g, bc[0], gr[0], ar[0], lam, b3[0])
             if cz:
                 rc_s, rbo_s, mem_s, agg_s, pp_l, sg_l, dg_l = cz
                 plan = kreduce.ReducePlan(
@@ -547,7 +562,7 @@ _COARSE_CACHE: dict = {}
 def _coarse_partition_tables(mesh: TriMesh, part: HaloPartition, tables):
     """Halo-layout coarse tables: per-shard assembly plans + owned-member
     restriction tables (host-side, cached per (mesh, n_shards))."""
-    key = (id(mesh.triangles), part.n_shards, id(tables.agg))
+    key = (_content_key(mesh.triangles, tables.agg), part.n_shards)
     hit = _COARSE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -831,7 +846,7 @@ def halo_refined_velocity_fields(
             op_df = HaloDFOperator(
                 op32=op32, blocks2=b2_df, g=g_df, w_scale=w_df,
                 lambda_=df32.from_f64(lam64))
-            diag = _diag_owned(op32, g_df.hi, bc[0].astype(jnp.float32),
+            diag = _diag_owned(g_df.hi, bc[0].astype(jnp.float32),
                                gr[0].astype(jnp.float32),
                                ar[0].astype(jnp.float32), lam32, b3[0])
             if cz:

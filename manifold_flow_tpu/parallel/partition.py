@@ -61,6 +61,7 @@ def sharded_compute_velocity_fields(
     max_iter: int = 2000,
     method: str = "cg",
     precond: str = "auto",
+    inner_tol: float = 1e-3,
 ) -> VelocityResult:
     """Distributed equivalent of solve.api.compute_velocity_fields.
 
@@ -70,6 +71,8 @@ def sharded_compute_velocity_fields(
     each shard runs the single-chip solver on its frame slice with zero
     communication (the scaling structure of the reference's frame pool).
     """
+    if precond not in ("jacobi", "two_level", "auto"):
+        raise ValueError(f"unknown precond: {precond!r}")
     nm = device_mesh.shape["mesh"]
     if method == "cg" and nm > 1:
         from manifold_flow_tpu.parallel.halo import (
@@ -84,11 +87,12 @@ def sharded_compute_velocity_fields(
 
         return halo_refined_velocity_fields(
             mesh, potentials, times, device_mesh, lambda_=lambda_, tol=tol,
-            max_iter=max_iter, precond=precond)
+            max_iter=max_iter, precond=precond, inner_tol=inner_tol)
     if method == "refined":
         return _frames_sharded_refined(mesh, potentials, times, device_mesh,
                                        lambda_=lambda_, tol=tol,
-                                       max_iter=max_iter, precond=precond)
+                                       max_iter=max_iter, precond=precond,
+                                       inner_tol=inner_tol)
     if method != "cg":
         raise ValueError(f"unknown sharded method {method!r} "
                          "(want 'cg' or 'refined')")
@@ -158,7 +162,8 @@ def _frames_sharded_cg(mesh, potentials, times, device_mesh, lambda_, tol,
 
 
 def _frames_sharded_refined(mesh, potentials, times, device_mesh, lambda_,
-                            tol, max_iter, precond: str = "auto"):
+                            tol, max_iter, precond: str = "auto",
+                            inner_tol: float = 1e-3):
     """Frame-sharded two-float32 refined solve (f64-grade accuracy).
 
     Assembly is replicated (cheap relative to the solve); each frame shard
@@ -202,6 +207,7 @@ def _frames_sharded_refined(mesh, potentials, times, device_mesh, lambda_,
             blocks2=op_df.blocks2, g=DF(gh, gl), w_scale=op_df.w_scale,
             lambda_=op_df.lambda_, n_dof=op_df.n_dof)
         res = refine_loop(mesh, op_l, DF(fh, fl), tol=tol,
+                          inner_tol=inner_tol,
                           max_iter=max_iter, coarse_tables=tables)
         return res.x, res.iterations[None], res.residual, res.converged
 

@@ -167,6 +167,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
 
     movie = None
     vel = None
+    v_world_cache = None
 
     def get_movie():
         nonlocal movie
@@ -183,16 +184,19 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                 else np.arange(n, dtype=np.float64))
 
     def get_velocity():
-        """v_world for S6/S7: from this run's flow stage, or reloaded from
-        the V_k.csv artifact of a previous (resumed) run."""
-        nonlocal vel
+        """v_world for S6/S7: from this run's flow stage, or reloaded (once)
+        from the V_k.csv artifact of a previous (resumed) run."""
+        nonlocal v_world_cache
         if vel is not None:
             return vel.v_world
+        if v_world_cache is not None:
+            return v_world_cache
         if stage_done(trial, "flow") and "flow" not in todo:
             from manifold_flow_tpu.ops.recombine import velocity_to_world
 
             v_k = io.load_indexed_csv(d / "V_k.csv")
-            return np.asarray(velocity_to_world(v_k, mesh.basis))
+            v_world_cache = np.asarray(velocity_to_world(v_k, mesh.basis))
+            return v_world_cache
         raise RuntimeError(
             f"{trial.key}: stage needs velocity fields but 'flow' neither "
             "ran nor left artifacts; include 'flow' in stages")

@@ -237,7 +237,7 @@ def cmd_visualize(args):
             mesh, v_world, path, scalars=scalars,
             singularities_per_frame=sing,
             true_singularities_per_frame=true_sing, times=times,
-            scaling=args.scaling, stride=args.stride)
+            scaling=args.scaling, stride=args.stride, underlay=underlay)
         print(json.dumps({"stage": "visualize", "gif": str(path),
                           "frames": int(v_world.shape[0])}))
     else:

@@ -167,6 +167,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     default on) the movie is re-solved with the refined two-float32 method —
     one bad frame would otherwise quietly corrupt every downstream artifact.
     """
+    import jax
     import jax.numpy as jnp
 
     def run(method):
@@ -178,6 +179,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                 mesh, jnp.asarray(potentials), jnp.asarray(times),
                 device_mesh, lambda_=config.solver.lambda_,
                 tol=config.solver.tol, max_iter=config.solver.max_iter,
+                inner_tol=config.solver.inner_tol,
                 method=("refined" if method == "refined" else "cg"))
         return compute_velocity_fields(
             mesh, jnp.asarray(potentials), jnp.asarray(times),
@@ -185,7 +187,16 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
             tol=config.solver.tol, inner_tol=config.solver.inner_tol,
             max_iter=config.solver.max_iter)
 
-    res = run(config.solver.method)
+    # Resolve 'auto' up front (mirrors solve.api): the escalation guard must
+    # compare against the method that actually RAN, or an auto->refined run
+    # would be "escalated" by repeating the identical refined solve.
+    method = config.solver.method
+    if method == "auto":
+        on_accelerator = jax.devices()[0].platform != "cpu"
+        method = ("refined" if on_accelerator
+                  and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
+
+    res = run(method)
     conv = np.asarray(res.converged)
     if not conv.all():
         bad = np.where(~conv)[0]
@@ -196,7 +207,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
             detail += f", ... ({len(bad)} frames total)"
         can_escalate = (
             config.solver.escalate
-            and config.solver.method not in ("refined", "cholesky")
+            and method not in ("refined", "cholesky")
             and jnp.asarray(potentials).dtype == jnp.float64
             and (device_mesh is None or device_mesh.shape.get("mesh", 1) == 1))
         if can_escalate:

@@ -115,7 +115,7 @@ def animate_velocity_fields(mesh, v_world, save_path, scalars=None,
                             singularities_per_frame=None,
                             true_singularities_per_frame=None, times=None,
                             scaling: str = "scaled", stride: int = 1,
-                            fps: int = 10, dpi: int = 80):
+                            fps: int = 10, dpi: int = 80, underlay=None):
     """GIF across frames (plot_velocity_fields_and_singularity_points_gif,
     draw_optical_flow_field.py:132-255). `times` adds the reference's
     time-stamped titles (:194-255). Passing `true_singularities_per_frame`
@@ -141,7 +141,7 @@ def animate_velocity_fields(mesh, v_world, save_path, scalars=None,
         plot_velocity_frame(mesh, v_world[k], scalars=sc, singularities=sing,
                             true_singularities=true,
                             scaling=scaling, stride=stride, title=title,
-                            ax=ax)
+                            ax=ax, underlay=underlay)
 
     anim = FuncAnimation(fig, draw, frames=v_world.shape[0], interval=1000 / fps)
     Path(save_path).parent.mkdir(parents=True, exist_ok=True)

@@ -143,6 +143,32 @@ def test_velocity_stage_nonconvergence_warns_and_escalates(demo_problem):
     assert not res2.converged
 
 
+def test_velocity_stage_auto_refined_does_not_self_escalate(
+        demo_problem, monkeypatch):
+    """method='auto' resolving to 'refined' (accelerator + f64) must not
+    'escalate' a failed refined solve by re-running the identical solver —
+    the guard compares against the RESOLVED method (review r2 #1)."""
+    import types
+
+    import jax
+
+    from manifold_flow_tpu.pipeline import stages as stages_mod
+
+    mesh, pot, times, _ = demo_problem
+    cfg = PipelineConfig()
+    assert cfg.solver.method == "auto"
+    cfg.solver.max_iter = 1
+    cfg.solver.tol = 1e-14
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda *a, **k: [types.SimpleNamespace(platform="tpu")])
+    with pytest.warns(stages.ConvergenceWarning) as rec:
+        stages_mod.velocity_stage(mesh, np.float64(1.0) * pot, times, cfg)
+    msgs = [str(w.message) for w in rec]
+    assert any("NOT converged" in m for m in msgs)
+    assert not any("escalating" in m for m in msgs)
+
+
 def test_velocity_stage_escalation_recovers(demo_problem):
     """A starved-but-not-hopeless cg solve escalates to refined and the
     escalated result actually converges."""
