@@ -16,6 +16,7 @@ is at the ~1e-13 relative level (validated in tests/test_df32.py).
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,77 @@ def _mesh_pairs(mesh: TriMesh):
     return et, gw, areas
 
 
+class DFMeshTables(NamedTuple):
+    """Frame-independent DF pieces of the operator (one per mesh)."""
+
+    et: DF            # (M, 3, 2, 3)
+    gw: DF            # (M, 3, 3)
+    areas: DF         # (M,)
+    w_scale: DF       # (M,)
+    blocks2: DF       # (M, 6, 6)
+    dof: jnp.ndarray          # (M, 6)
+    gather_base: jnp.ndarray  # (N, C)
+
+
+def _build_df_tables(mesh: TriMesh) -> DFMeshTables:
+    from manifold_flow_tpu.fem import assembly
+
+    et, gw, areas = _mesh_pairs(mesh)
+    twelve = DF(jnp.float32(12.0), jnp.float32(0.0))
+    m = mesh.triangles.shape[0]
+    pad = mesh.vertex_cells < 0
+    gather_base = jnp.where(
+        pad, m * 6,
+        mesh.vertex_cells * 6 + mesh.vertex_cell_slot * 2).astype(jnp.int32)
+    return DFMeshTables(
+        et=et, gw=gw, areas=areas, w_scale=df32.div(areas, twelve),
+        blocks2=_blocks2_pairs(et, gw, areas),
+        dof=assembly.local_dof_indices(mesh), gather_base=gather_base)
+
+
+# Identity-keyed cache pinning the keyed arrays (a bare id() key could be
+# recycled after the arrays are freed; holding references prevents that,
+# and the `is` checks verify the hit). Capped FIFO for batch sweeps over
+# many surfaces.
+_DF_TABLES_CACHE: dict = {}
+_DF_TABLES_CAP = 8
+
+
+def mesh_df_tables(mesh: TriMesh) -> DFMeshTables:
+    """Cached frame-independent DF tables for `mesh`.
+
+    Building these (f64 splits + the compensated a2 block assembly) costs a
+    measurable slice of each refined solve (~27 ms standalone at reference
+    scale) yet depends only on the mesh; callers that solve many movies over
+    one surface should hit the cache. Under tracing (mesh arrays are
+    tracers) caching is impossible and the tables build inline, exactly as
+    before.
+    """
+    pts, tris, basis = mesh.points, mesh.triangles, mesh.basis
+    try:
+        from jax._src import core as _core
+
+        tracing = not _core.trace_state_clean()
+    except Exception:  # API moved: conservatively assume tracing
+        tracing = True
+    # Under ANY active trace the jnp ops below stage tracers even on
+    # concrete inputs — caching those leaks tracers out of the trace
+    # (UnexpectedTracerError on the next call). Build inline instead.
+    if tracing or any(isinstance(x, jax.core.Tracer)
+                      for x in (pts, tris, basis)):
+        return _build_df_tables(mesh)
+    key = (id(pts), id(tris), id(basis))
+    hit = _DF_TABLES_CACHE.get(key)
+    if (hit is not None and hit[0] is pts and hit[1] is tris
+            and hit[2] is basis):
+        return hit[3]
+    tables = _build_df_tables(mesh)
+    _DF_TABLES_CACHE[key] = (pts, tris, basis, tables)
+    while len(_DF_TABLES_CACHE) > _DF_TABLES_CAP:
+        _DF_TABLES_CACHE.pop(next(iter(_DF_TABLES_CACHE)))
+    return tables
+
+
 def _blocks2_pairs(et: DF, gw: DF, areas: DF) -> DF:
     """a2 local blocks (M, 6, 6) in DF (fem.assembly.a2_blocks formulas)."""
     gg = df32.dot_along(DF(gw.hi[:, :, None], gw.lo[:, :, None]),
@@ -117,7 +189,8 @@ def _frame_factors_pairs(mesh: TriMesh, pot: DF, et: DF, gw: DF) -> DF:
 
 def make_df_operator(mesh: TriMesh, potentials: jnp.ndarray,
                      times: jnp.ndarray, lambda_: float,
-                     potentials_next: jnp.ndarray | None = None
+                     potentials_next: jnp.ndarray | None = None,
+                     tables: DFMeshTables | None = None
                      ) -> tuple[DFFlowOperator, DF]:
     """Build the DF operator and DF right-hand sides from a float64 movie.
 
@@ -125,17 +198,21 @@ def make_df_operator(mesh: TriMesh, potentials: jnp.ndarray,
     everything downstream is fused float32. `potentials_next` supports the
     reference's optional second movie I_k_2 for the time derivative
     (utils/compute_optical_flow.py:174-176); defaults to `potentials`.
+    `tables` injects precomputed frame-independent pieces across a jit
+    boundary (mesh_df_tables); None resolves them here (cached when the
+    mesh is concrete).
     """
     if potentials.dtype != jnp.float64:
         raise ValueError(f"make_df_operator wants float64 inputs; got "
                          f"{potentials.dtype}")
-    et, gw, areas = _mesh_pairs(mesh)
+    if tables is None:
+        tables = mesh_df_tables(mesh)
+    et, gw = tables.et, tables.gw
     pot_all = df32.from_f64(potentials)                   # (T, N)
     pot = DF(pot_all.hi[:-1], pot_all.lo[:-1])
     g = _frame_factors_pairs(mesh, pot, et, gw)
 
-    twelve = DF(jnp.float32(12.0), jnp.float32(0.0))
-    w_scale = df32.div(areas, twelve)
+    w_scale = tables.w_scale
 
     # RHS: dI = (I_{k+1} - I_k) / dt, then f = scatter(g * (dI_c + sum dI) A/12).
     dt = df32.from_f64(times[1:] - times[:-1])            # (T-1,)
@@ -152,20 +229,13 @@ def make_df_operator(mesh: TriMesh, potentials: jnp.ndarray,
     t = f_loc.hi.shape[0]
     m = mesh.triangles.shape[0]
 
-    from manifold_flow_tpu.fem import assembly
-
-    dof = assembly.local_dof_indices(mesh)
-    pad = mesh.vertex_cells < 0
-    gather_base = jnp.where(
-        pad, m * 6,
-        mesh.vertex_cells * 6 + mesh.vertex_cell_slot * 2).astype(jnp.int32)
     f = _reduce_local(DF(f_loc.hi.reshape(t, m, 6), f_loc.lo.reshape(t, m, 6)),
-                      gather_base, t)
+                      tables.gather_base, t)
 
     op = DFFlowOperator(
-        dof=dof,
-        gather_base=gather_base,
-        blocks2=_blocks2_pairs(et, gw, areas),
+        dof=tables.dof,
+        gather_base=tables.gather_base,
+        blocks2=tables.blocks2,
         g=g,
         w_scale=w_scale,
         lambda_=df32.from_f64(jnp.asarray(lambda_, jnp.float64)),

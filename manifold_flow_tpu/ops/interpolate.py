@@ -51,6 +51,27 @@ def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("kind",))
+def rbf_interpolate_phases(coords: jnp.ndarray, phi: jnp.ndarray,
+                           targets: jnp.ndarray,
+                           epsilon: jnp.ndarray | None = None,
+                           smooth: float = 0.0, kind: str = "multiquadric"
+                           ) -> jnp.ndarray:
+    """Phase interpolation with REAL program inputs/outputs: e^{i phi} ->
+    complex RBF -> angle, all inside one compiled program
+    (S2_interpolate_phases.py:52-56,177-182).
+
+    This is the TPU-safe phases entrypoint: complex buffers cannot cross
+    this TPU backend's host<->device boundary, and eager complex op chains
+    poison downstream fetches (utils.precision) — so the complex unit-circle
+    values exist only as internal tensors here. phi (T, E) real -> (T, P)
+    real angles.
+    """
+    values = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    out = _rbf_solve(coords, values, targets, epsilon, smooth, kind)
+    return jnp.arctan2(out.imag, out.real)
+
+
+@partial(jax.jit, static_argnames=("kind",))
 def rbf_interpolate(coords: jnp.ndarray, values: jnp.ndarray,
                     targets: jnp.ndarray, epsilon: jnp.ndarray | None = None,
                     smooth: float = 0.0, kind: str = "multiquadric"
@@ -59,20 +80,46 @@ def rbf_interpolate(coords: jnp.ndarray, values: jnp.ndarray,
 
     Returns (T, P). Complex `values` are supported (the phases pipeline
     interpolates e^{i phi}, S2_interpolate_phases.py:177-182): the real kernel
-    system is solved once with complex right-hand sides.
+    system is solved once with complex right-hand sides. NOTE: complex
+    values/results cannot cross the TPU backend's transfer boundary — use
+    rbf_interpolate_phases (real I/O) on accelerators.
     """
+    return _rbf_solve(coords, values, targets, epsilon, smooth, kind)
+
+
+def _rbf_solve(coords, values, targets, epsilon, smooth, kind):
     if epsilon is None:
         epsilon = scipy_default_epsilon(coords)
     a = _kernel(_pairwise_dist(coords, coords), epsilon, kind)
     a = a - smooth * jnp.eye(coords.shape[0], dtype=a.dtype)
     b = _kernel(_pairwise_dist(targets, coords), epsilon, kind)   # (P, E)
-    lu, piv = jax.scipy.linalg.lu_factor(a)
+    # TPU XLA implements LuDecomposition only for f32/c64, so the factor is
+    # always f32; f64 inputs recover full precision through iterative
+    # refinement (residuals in f64 — tiny (E,E)@(E,T) matmuls), the same
+    # mixed-precision recipe as solve.refine. A direct f64 lu_factor here
+    # fails to compile on TPU.
+    lu, piv = jax.scipy.linalg.lu_factor(a.astype(jnp.float32))
 
     def solve(rhs):
-        return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        x32 = jax.scipy.linalg.lu_solve((lu, piv), rhs.astype(jnp.float32))
+        if rhs.dtype != jnp.float64:
+            return x32.astype(rhs.dtype)
+        x = x32.astype(jnp.float64)
+        for _ in range(2):
+            r = rhs - a.astype(jnp.float64) @ x
+            x = x + jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(jnp.float32)).astype(jnp.float64)
+        return x
 
     if jnp.iscomplexobj(values):
-        w = solve(values.real.T) + 1j * solve(values.imag.T)      # (E, T)
-    else:
-        w = solve(values.T)
-    return (b @ w).T
+        # Real matmuls + one final lax.complex: complex matmuls would run as
+        # emulated pairs anyway, and on TPU a complex128 tensor cannot even
+        # exist off-device (utils.precision). Precision follows the input:
+        # complex64 values solve at f32, complex128 get the refined path.
+        rdt = values.real.dtype
+        w_re = solve(values.real.T)                               # (E, T)
+        w_im = solve(values.imag.T)
+        b_r = b.astype(rdt)
+        return jax.lax.complex((b_r @ w_re.astype(rdt)).T,
+                               (b_r @ w_im.astype(rdt)).T)
+    return (b @ solve(values.T)).T

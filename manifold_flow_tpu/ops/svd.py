@@ -12,8 +12,10 @@ negative, ComplexMatrices:206-213).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from manifold_flow_tpu.ops.recombine import velocity_to_complex
@@ -45,14 +47,90 @@ def fix_signs(u: jnp.ndarray, vt: jnp.ndarray, n_modes: int):
     return u_fixed, vt_fixed
 
 
-def decompose_complex(v_k: jnp.ndarray, n_modes: int | None = None) -> SVDModes:
-    """SVD of the complex movie (T, N) = V1 + i V2."""
+@partial(jax.jit, static_argnames=("n_modes",))
+def _svd_complex_parts(v_k: jnp.ndarray, n_modes: int | None):
+    """Complex SVD as ONE real-I/O program: the complex movie and factors
+    exist only inside the compiled program — this TPU backend cannot move
+    complex buffers across the host boundary (utils.precision), so u/vt
+    return as (real, imag) pairs."""
+    from manifold_flow_tpu.utils.precision import complex_dtype
+
     movie = velocity_to_complex(v_k)
+    movie = movie.astype(complex_dtype(movie.dtype))
     u, s, vt = jnp.linalg.svd(movie, full_matrices=False)
     k = s.shape[0] if n_modes is None else n_modes
     u, vt = fix_signs(u, vt, k)
     pct, pct2 = mode_percentages(s)
-    return SVDModes(u[:, :k], s[:k], vt[:k], pct[:k], pct2[:k])
+    return (u[:, :k].real, u[:, :k].imag, s[:k],
+            vt[:k].real, vt[:k].imag, pct[:k], pct2[:k])
+
+
+@partial(jax.jit, static_argnames=("n_modes",))
+def _svd_complex_parts_gram(v_k: jnp.ndarray, n_modes: int | None):
+    """Complex SVD with NO complex tensors at all, for TPU: the compiler
+    SIGABRTs on complex-SVD HLO, so the left modes come from the real
+    symmetric embedding of the Hermitian Gram matrix.
+
+    For M = A + iB (T, N): G = M M^H = S1 + i S2 with S1 = AA^T + BB^T
+    (symmetric), S2 = BA^T - AB^T (antisymmetric). The real embedding
+    H = [[S1, -S2], [S2, S1]] (2T, 2T) has each eigenvalue sigma^2 of G
+    twice, and ANY unit eigenvector (p; q) of a pair maps to a valid unit
+    complex eigenvector u = p + iq (the pair subspace is exactly the complex
+    phase freedom). Right modes follow as vt = diag(1/sigma) u^H M via real
+    matmuls. Gram squaring halves the attainable precision of small
+    singular values (fine for mode-energy analysis; the CPU path keeps
+    exact LAPACK SVD parity).
+    """
+    from manifold_flow_tpu.utils.precision import complex_dtype
+
+    rdt = jnp.dtype(complex_dtype(jnp.complex128 if v_k.dtype == jnp.float64
+                                  else jnp.complex64))
+    rdt = jnp.float32 if rdt == jnp.complex64 else jnp.float64
+    t = v_k.shape[0]
+    n = v_k.shape[-1] // 2
+    a = v_k[:, :n].astype(rdt)
+    b = v_k[:, n:].astype(rdt)
+    s1 = a @ a.T + b @ b.T
+    s2 = b @ a.T - a @ b.T
+    h = jnp.block([[s1, -s2], [s2, s1]])
+    lam, vec = jnp.linalg.eigh(h)                     # ascending
+    lam = lam[::-1]
+    vec = vec[:, ::-1]
+    sel = jnp.arange(0, 2 * t, 2)                     # one per doubled pair
+    s = jnp.sqrt(jnp.maximum(lam[sel], 0.0))
+    p = vec[:t, sel]                                  # (T, T)
+    q = vec[t:, sel]
+    inv = 1.0 / jnp.maximum(s, jnp.finfo(rdt).tiny)
+    vt_re = (p.T @ a + q.T @ b) * inv[:, None]
+    vt_im = (p.T @ b - q.T @ a) * inv[:, None]
+
+    k = t if n_modes is None else n_modes
+    # fix_signs convention on the complex u = p + iq (ComplexMatrices:206-213).
+    sign = jnp.where(jnp.mean(p[:, :k], axis=0) < 0, -1.0, 1.0)
+    ur = p[:, :k] * sign
+    ui = q[:, :k] * sign
+    vr = vt_re[:k] * sign[:, None]
+    vi = vt_im[:k] * sign[:, None]
+    pct, pct2 = mode_percentages(s)
+    return ur, ui, s[:k], vr, vi, pct[:k], pct2[:k]
+
+
+def decompose_complex(v_k: jnp.ndarray, n_modes: int | None = None) -> SVDModes:
+    """SVD of the complex movie (T, N) = V1 + i V2.
+
+    u/vt come back as HOST numpy complex arrays (recombined from real-plane
+    transfers — complex buffers cannot cross the TPU transfer boundary).
+    On TPU the decomposition runs via the all-real Gram embedding
+    (_svd_complex_parts_gram, f32); elsewhere via exact complex SVD."""
+    import numpy as np
+
+    from manifold_flow_tpu.utils.precision import on_tpu
+
+    parts_fn = _svd_complex_parts_gram if on_tpu() else _svd_complex_parts
+    ur, ui, s, vr, vi, pct, pct2 = parts_fn(v_k, n_modes)
+    u = np.asarray(ur) + 1j * np.asarray(ui)
+    vt = np.asarray(vr) + 1j * np.asarray(vi)
+    return SVDModes(u, s, vt, pct, pct2)
 
 
 def decompose_concat(v_k: jnp.ndarray, n_modes: int | None = None) -> SVDModes:

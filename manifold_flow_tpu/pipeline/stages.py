@@ -122,6 +122,10 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
         e = int(config.interpolation.end_time * sfreq)
         data = data[s:e]
     if phases:
+        # Both device programs here are real-in/real-out: the complex
+        # analytic signal and the complex unit-circle RBF values exist only
+        # INSIDE compiled programs — this TPU backend cannot move complex
+        # buffers across the host boundary (utils.precision).
         hilbert_axis = -1 if config.reference_quirks else 0
         phi = np.asarray(phase_ops.instantaneous_phase(
             jnp.asarray(np.asarray(electrode_data)), axis=hilbert_axis))
@@ -129,14 +133,15 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
             s = int(config.interpolation.start_time * sfreq)
             e = int(config.interpolation.end_time * sfreq)
             phi = phi[s:e]
-        values = jnp.asarray(np.exp(1j * phi))
+        out = np.asarray(rbf_ops.rbf_interpolate_phases(
+            jnp.asarray(np.asarray(electrode_coords)), jnp.asarray(phi),
+            mesh.points, smooth=config.interpolation.smooth,
+            kind=config.interpolation.kind))
     else:
-        values = jnp.asarray(data)
-    out = rbf_ops.rbf_interpolate(
-        jnp.asarray(np.asarray(electrode_coords)), values,
-        mesh.points, smooth=config.interpolation.smooth,
-        kind=config.interpolation.kind)
-    out = np.asarray(jnp.angle(out) if phases else out)
+        out = np.asarray(rbf_ops.rbf_interpolate(
+            jnp.asarray(np.asarray(electrode_coords)), jnp.asarray(data),
+            mesh.points, smooth=config.interpolation.smooth,
+            kind=config.interpolation.kind))
     if save_path is not None:
         io.ensure_dir(save_path)
         io.save_indexed_csv(save_path, out)
@@ -318,9 +323,11 @@ def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
     else:
         raise ValueError(f"unknown SVD mode {mode!r}")
     if npz_path is not None:
+        from manifold_flow_tpu.utils.precision import complex_to_numpy
+
         io.ensure_dir(npz_path)
-        np.savez(npz_path, U=np.asarray(modes.u),
-                 Sigma=np.asarray(modes.sigma), VT=np.asarray(modes.vt),
+        np.savez(npz_path, U=complex_to_numpy(modes.u),
+                 Sigma=np.asarray(modes.sigma), VT=complex_to_numpy(modes.vt),
                  point_num=v.shape[-1] // 2)
     return modes
 

@@ -141,17 +141,22 @@ def compute_velocity_fields(
             tables = None  # traced mesh: aggregation needs concrete topology
 
     if method == "refined":
+        from manifold_flow_tpu.fem.df_operator import mesh_df_tables
         from manifold_flow_tpu.solve.refine import solve_refined
 
         if potentials.dtype != jnp.float64:
             raise ValueError(
                 "method='refined' needs float64 potentials (enable x64 and "
                 f"pass float64 inputs); got {potentials.dtype}")
+        # Built (and cached) OUTSIDE solve_refined's jit so the mesh-only DF
+        # tables don't rebuild on every solve (no-op under tracing).
+        df_tables = mesh_df_tables(mesh)
         res = solve_refined(mesh, potentials, times, lambda_=lambda_,
                             tol=tol, max_iter=max_iter,
                             inner_tol=inner_tol, anchor_stride=anchor_stride,
                             potentials_next=potentials_next,
-                            coarse_tables=tables, coarse_a1=coarse_a1)
+                            coarse_tables=tables, coarse_a1=coarse_a1,
+                            df_tables=df_tables)
         return VelocityResult(res.x, mesh.basis, res.iterations,
                               res.residual, res.converged)
 

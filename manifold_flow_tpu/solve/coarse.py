@@ -143,8 +143,14 @@ def build_tables(mesh: TriMesh, passes: int | None = None) -> CoarseTables:
     Must be called with concrete (non-traced) topology arrays — i.e. outside
     jit, or with the mesh closed over as a constant.
     """
+    # Identity key PLUS a pinned reference + `is` check: a bare id() can be
+    # recycled by CPython after the keyed array is freed, silently returning
+    # another mesh's aggregation (same hazard class as parallel.halo's
+    # partition cache).
     key = (id(mesh.vertex_neighbors), passes)
-    hit = _TABLE_CACHE.get(key)
+    entry = _TABLE_CACHE.get(key)
+    hit = (entry[1] if entry is not None
+           and entry[0] is mesh.vertex_neighbors else None)
     if hit is None:
         # np.asarray raises on traced topology — callers fall back to Jacobi.
         neighbors = np.asarray(mesh.vertex_neighbors)
@@ -179,7 +185,7 @@ def build_tables(mesh: TriMesh, passes: int | None = None) -> CoarseTables:
         flat = (rows * nc2 + cols).reshape(-1)
         plan_np = kreduce.build_reduce_plan_np(flat, nc2 * nc2)
         hit = (agg, seeds, members, plan_np)
-        _TABLE_CACHE[key] = hit
+        _TABLE_CACHE[key] = (mesh.vertex_neighbors, hit)
     agg, seeds, members, plan_np = hit
     pad_perm, slot_groups, dense_gather, n_vals = plan_np
     # Convert to jnp per call (NOT cached): under an active trace these are

@@ -53,7 +53,7 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
                   refine_steps: int = 8,
                   potentials_next: jnp.ndarray | None = None,
                   coarse_tables=None, coarse_a1: str = "full",
-                  anchor_stride: int = 1) -> RefineResult:
+                  anchor_stride: int = 1, df_tables=None) -> RefineResult:
     """Solve (a1_k + lambda a2) x_k = f_k for all frames to f64-grade accuracy.
 
     Args:
@@ -85,7 +85,8 @@ def solve_refined(mesh, potentials: jnp.ndarray, times: jnp.ndarray,
             f"solve_refined needs float64 inputs (enable x64); got "
             f"{potentials.dtype}")
     op_df, f_df = make_df_operator(mesh, potentials, times, lambda_,
-                                   potentials_next=potentials_next)
+                                   potentials_next=potentials_next,
+                                   tables=df_tables)
     x0 = None
     anchor_iters = jnp.int32(0)
     n_sys = potentials.shape[0] - 1

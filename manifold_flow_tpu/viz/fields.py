@@ -164,18 +164,24 @@ def plot_spatial_modes(mesh, modes, n_modes: int = 4, scaling: str = "scaled",
     context plot. Returns the list of figures; `save_path_fmt` (with a
     `{mode}` field) also writes one PNG per mode.
     """
-    from manifold_flow_tpu.ops.svd import concat_modes_to_complex, mode_to_world
+    from manifold_flow_tpu.utils.precision import complex_to_numpy
 
-    vt = np.asarray(modes.vt)
+    vt = complex_to_numpy(modes.vt)
     sigma = np.asarray(modes.sigma)
     if not np.iscomplexobj(vt):
-        vt = np.asarray(concat_modes_to_complex(vt))
+        # Concat form (K, 2N) -> complex (K, N) (ConcatMatrices :194-197).
+        n = vt.shape[-1] // 2
+        vt = vt[..., :n] + 1j * vt[..., n:]
     basis = np.asarray(mesh.basis)
     energy = 100.0 * sigma**2 / np.sum(np.asarray(modes.sigma) ** 2)
     figs = []
     k = min(n_modes, vt.shape[0])
     for i in range(k):
-        world = np.asarray(mode_to_world(sigma[i] * vt[i], basis)).real
+        # calculate_V_k_from_complex (ComplexMatrices:49-69) in host numpy:
+        # a complex device tensor cannot cross the TPU transfer boundary.
+        svt = sigma[i] * vt[i]
+        world = (np.real(svt)[:, None] * basis[:, 0]
+                 + np.imag(svt)[:, None] * basis[:, 1])
         fig = plot_velocity_frame(
             mesh, world, scaling=scaling, stride=stride,
             title=f"mode {i + 1} ({energy[i]:.1f}%)",

@@ -161,6 +161,31 @@ def test_svd_complex_matches_numpy(source_setup):
     assert np.all(np.mean(np.real(np.asarray(modes.u)), axis=0) >= -1e-12)
 
 
+def test_svd_complex_gram_path_matches_exact(source_setup):
+    """The TPU fallback (all-real Gram-embedding eigendecomposition,
+    _svd_complex_parts_gram — the TPU compiler cannot lower complex SVD)
+    must reproduce the exact complex SVD up to per-mode phase: equal
+    singular values and equal rank-k reconstruction."""
+    _, _, _, _, res, _ = source_setup
+    v_k = np.asarray(res.v_k)
+    k = 4
+    ur, ui, s, vr, vi, pct, pct2 = svd._svd_complex_parts_gram(
+        jnp.asarray(v_k), k)
+    n = v_k.shape[1] // 2
+    movie = v_k[:, :n] + 1j * v_k[:, n:]
+    u_ref, s_ref, vt_ref = np.linalg.svd(movie, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(s), s_ref[:k], rtol=1e-6)
+    u = np.asarray(ur) + 1j * np.asarray(ui)
+    vt = np.asarray(vr) + 1j * np.asarray(vi)
+    rec_got = u @ np.diag(np.asarray(s)) @ vt
+    rec_want = u_ref[:, :k] @ np.diag(s_ref[:k]) @ vt_ref[:k]
+    scale = np.abs(rec_want).max()
+    np.testing.assert_allclose(rec_got, rec_want, atol=1e-6 * scale)
+    # Unit temporal modes + the sign convention.
+    np.testing.assert_allclose(np.linalg.norm(u, axis=0), 1.0, rtol=1e-6)
+    assert np.all(np.mean(np.real(u), axis=0) >= -1e-9)
+
+
 def test_svd_concat_energy(source_setup):
     _, _, _, _, res, _ = source_setup
     modes = svd.decompose_concat(res.v_k)
