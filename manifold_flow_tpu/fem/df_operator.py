@@ -136,7 +136,11 @@ def mesh_df_tables(mesh: TriMesh) -> DFMeshTables:
     tracers) caching is impossible and the tables build inline, exactly as
     before.
     """
-    pts, tris, basis = mesh.points, mesh.triangles, mesh.basis
+    # Key on EVERY array _build_df_tables consumes — a TriMesh variant
+    # sharing triangles/basis but carrying replaced grad_w/areas/
+    # vertex_cells tables must miss, not silently reuse stale tables.
+    deps = (mesh.triangles, mesh.basis, mesh.grad_w, mesh.areas,
+            mesh.vertex_cells, mesh.vertex_cell_slot)
     try:
         from jax._src import core as _core
 
@@ -146,16 +150,14 @@ def mesh_df_tables(mesh: TriMesh) -> DFMeshTables:
     # Under ANY active trace the jnp ops below stage tracers even on
     # concrete inputs — caching those leaks tracers out of the trace
     # (UnexpectedTracerError on the next call). Build inline instead.
-    if tracing or any(isinstance(x, jax.core.Tracer)
-                      for x in (pts, tris, basis)):
+    if tracing or any(isinstance(x, jax.core.Tracer) for x in deps):
         return _build_df_tables(mesh)
-    key = (id(pts), id(tris), id(basis))
+    key = tuple(id(x) for x in deps)
     hit = _DF_TABLES_CACHE.get(key)
-    if (hit is not None and hit[0] is pts and hit[1] is tris
-            and hit[2] is basis):
-        return hit[3]
+    if hit is not None and all(a is b for a, b in zip(hit[0], deps)):
+        return hit[1]
     tables = _build_df_tables(mesh)
-    _DF_TABLES_CACHE[key] = (pts, tris, basis, tables)
+    _DF_TABLES_CACHE[key] = (deps, tables)
     while len(_DF_TABLES_CACHE) > _DF_TABLES_CAP:
         _DF_TABLES_CACHE.pop(next(iter(_DF_TABLES_CACHE)))
     return tables

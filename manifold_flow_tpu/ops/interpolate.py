@@ -93,23 +93,31 @@ def _rbf_solve(coords, values, targets, epsilon, smooth, kind):
     a = _kernel(_pairwise_dist(coords, coords), epsilon, kind)
     a = a - smooth * jnp.eye(coords.shape[0], dtype=a.dtype)
     b = _kernel(_pairwise_dist(targets, coords), epsilon, kind)   # (P, E)
-    # TPU XLA implements LuDecomposition only for f32/c64, so the factor is
-    # always f32; f64 inputs recover full precision through iterative
-    # refinement (residuals in f64 — tiny (E,E)@(E,T) matmuls), the same
-    # mixed-precision recipe as solve.refine. A direct f64 lu_factor here
-    # fails to compile on TPU.
-    lu, piv = jax.scipy.linalg.lu_factor(a.astype(jnp.float32))
+    # TPU XLA implements LuDecomposition only for f32/c64 (f64 fails to
+    # compile), so on TPU the factor is f32 and f64 inputs refine toward
+    # full precision through iterative residual correction (f64 residual
+    # matmuls are tiny (E,E)@(E,T)) — the same mixed-precision recipe as
+    # solve.refine, limited to cond(A) < ~1/eps_f32. Backends WITH f64 LU
+    # (CPU/GPU) keep the exact factorization: ill-conditioned RBF kernels
+    # (large dense grids) exceed what f32 refinement can recover.
+    from manifold_flow_tpu.utils.precision import on_tpu
+
+    f32_factor = a.dtype == jnp.float64 and on_tpu()
+    lu, piv = jax.scipy.linalg.lu_factor(
+        a.astype(jnp.float32) if f32_factor else a)
 
     def solve(rhs):
-        x32 = jax.scipy.linalg.lu_solve((lu, piv), rhs.astype(jnp.float32))
-        if rhs.dtype != jnp.float64:
-            return x32.astype(rhs.dtype)
-        x = x32.astype(jnp.float64)
-        for _ in range(2):
-            r = rhs - a.astype(jnp.float64) @ x
+        if not f32_factor:
+            return jax.scipy.linalg.lu_solve((lu, piv), rhs.astype(a.dtype)
+                                             ).astype(rhs.dtype)
+        x = jax.scipy.linalg.lu_solve(
+            (lu, piv), rhs.astype(jnp.float32)).astype(jnp.float64)
+        rhs64 = rhs.astype(jnp.float64)
+        for _ in range(3):
+            r = rhs64 - a.astype(jnp.float64) @ x
             x = x + jax.scipy.linalg.lu_solve(
                 (lu, piv), r.astype(jnp.float32)).astype(jnp.float64)
-        return x
+        return x.astype(rhs.dtype)
 
     if jnp.iscomplexobj(values):
         # Real matmuls + one final lax.complex: complex matmuls would run as

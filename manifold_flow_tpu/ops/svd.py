@@ -88,6 +88,7 @@ def _svd_complex_parts_gram(v_k: jnp.ndarray, n_modes: int | None):
     rdt = jnp.float32 if rdt == jnp.complex64 else jnp.float64
     t = v_k.shape[0]
     n = v_k.shape[-1] // 2
+    n_keep = min(t, n)                                # rank bound, as in SVD
     a = v_k[:, :n].astype(rdt)
     b = v_k[:, n:].astype(rdt)
     s1 = a @ a.T + b @ b.T
@@ -96,15 +97,51 @@ def _svd_complex_parts_gram(v_k: jnp.ndarray, n_modes: int | None):
     lam, vec = jnp.linalg.eigh(h)                     # ascending
     lam = lam[::-1]
     vec = vec[:, ::-1]
-    sel = jnp.arange(0, 2 * t, 2)                     # one per doubled pair
-    s = jnp.sqrt(jnp.maximum(lam[sel], 0.0))
-    p = vec[:t, sel]                                  # (T, T)
-    q = vec[t:, sel]
-    inv = 1.0 / jnp.maximum(s, jnp.finfo(rdt).tiny)
+
+    # Each complex eigenvalue appears TWICE in H, and under (near-)degenerate
+    # singular values eigh returns an arbitrary basis of the doubled group —
+    # taking every other column can pick two images of the SAME complex mode
+    # and drop another. Instead, walk all 2T candidates in descending order
+    # and greedily complex-orthogonalize: a candidate whose residual against
+    # the already-selected complex span is negligible is a J-pair duplicate
+    # (or spans nothing new within its degenerate group) and is skipped.
+    cand_re = vec[:t]                                 # (T, 2T)
+    cand_im = vec[t:]
+    eps_sel = 1e-3
+
+    def body(state, j):
+        ure, uim, cnt, sig = state
+        cre = cand_re[:, j]
+        cim = cand_im[:, j]
+        # alpha = U^H c with complex U = ure + i uim (zero columns inert).
+        ar = ure.T @ cre + uim.T @ cim
+        ai = ure.T @ cim - uim.T @ cre
+        rre = cre - (ure @ ar - uim @ ai)
+        rim = cim - (ure @ ai + uim @ ar)
+        nrm = jnp.sqrt(jnp.sum(rre * rre + rim * rim))
+        take = (nrm > eps_sel) & (cnt < n_keep)
+        inv = 1.0 / jnp.where(nrm > 0, nrm, 1.0)
+        slot = jnp.minimum(cnt, n_keep - 1)
+        col = jax.nn.one_hot(slot, n_keep, dtype=rdt) * take
+        ure = ure + (rre * inv)[:, None] * col[None, :]
+        uim = uim + (rim * inv)[:, None] * col[None, :]
+        sig = sig + jnp.sqrt(jnp.maximum(lam[j], 0.0)) * col
+        return (ure, uim, cnt + take.astype(jnp.int32), sig), None
+
+    zero_u = jnp.zeros((t, n_keep), rdt)
+    (p, q, _, s), _ = jax.lax.scan(
+        body, (zero_u, zero_u, jnp.int32(0), jnp.zeros((n_keep,), rdt)),
+        jnp.arange(2 * t))
+
+    # vt = diag(1/sigma) u^H M; zero rows for (numerically) zero sigma — the
+    # exact-SVD path returns arbitrary orthonormal rows there, but scaled
+    # rounding noise would be unbounded garbage.
+    good = s > jnp.finfo(rdt).eps * jnp.maximum(s[0], 1.0) * 10.0
+    inv = jnp.where(good, 1.0 / jnp.where(good, s, 1.0), 0.0)
     vt_re = (p.T @ a + q.T @ b) * inv[:, None]
     vt_im = (p.T @ b - q.T @ a) * inv[:, None]
 
-    k = t if n_modes is None else n_modes
+    k = n_keep if n_modes is None else min(n_modes, n_keep)
     # fix_signs convention on the complex u = p + iq (ComplexMatrices:206-213).
     sign = jnp.where(jnp.mean(p[:, :k], axis=0) < 0, -1.0, 1.0)
     ur = p[:, :k] * sign

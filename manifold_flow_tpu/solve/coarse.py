@@ -186,6 +186,11 @@ def build_tables(mesh: TriMesh, passes: int | None = None) -> CoarseTables:
         plan_np = kreduce.build_reduce_plan_np(flat, nc2 * nc2)
         hit = (agg, seeds, members, plan_np)
         _TABLE_CACHE[key] = (mesh.vertex_neighbors, hit)
+        # Capped FIFO: entries pin the keyed device array (that is what
+        # makes the id key safe), so unbounded growth across a batch sweep
+        # over many surfaces would leak host+device memory.
+        while len(_TABLE_CACHE) > 8:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     agg, seeds, members, plan_np = hit
     pad_perm, slot_groups, dense_gather, n_vals = plan_np
     # Convert to jnp per call (NOT cached): under an active trace these are

@@ -47,15 +47,24 @@ def spectral_real_dtype(dtype):
 
 
 def complex_to_numpy(x):
-    """Fetch a (possibly complex) device array to host numpy.
+    """Recombine HOST-side complex (or fetch a real device array) to numpy.
 
     Complex buffers cannot cross this TPU backend's transfer path in either
     direction (c64 device->host is UNIMPLEMENTED; c128 host->device hangs),
-    so complex tensors must stay on-device intermediates: the real and
-    imaginary planes transfer separately and recombine on the host."""
+    and even EAGER .real/.imag dispatches on a complex device array poison
+    downstream fetches — so a complex jax.Array on TPU is already
+    unrecoverable here and is rejected loudly. Ops must return real/imag
+    planes from inside one jitted program (e.g. ops.svd._svd_complex_parts)
+    and recombine via this helper on host numpy."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     if jnp.iscomplexobj(x):
+        if isinstance(x, jax.Array) and on_tpu():
+            raise TypeError(
+                "complex device arrays cannot be fetched on this TPU "
+                "backend; return real/imag planes from a jitted program "
+                "and recombine on host (utils.precision module docs)")
         return np.asarray(x.real) + 1j * np.asarray(x.imag)
     return np.asarray(x)

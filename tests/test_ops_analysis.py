@@ -186,6 +186,57 @@ def test_svd_complex_gram_path_matches_exact(source_setup):
     assert np.all(np.mean(np.real(u), axis=0) >= -1e-9)
 
 
+def _gram_vs_exact(movie, k):
+    t, n = movie.shape
+    v_k = np.concatenate([movie.real, movie.imag], axis=1)
+    ur, ui, s, vr, vi, _, _ = svd._svd_complex_parts_gram(jnp.asarray(v_k), k)
+    u = np.asarray(ur) + 1j * np.asarray(ui)
+    vt = np.asarray(vr) + 1j * np.asarray(vi)
+    u_ref, s_ref, vt_ref = np.linalg.svd(movie, full_matrices=False)
+    return u, np.asarray(s), vt, u_ref, s_ref, vt_ref
+
+
+def test_svd_complex_gram_degenerate_singular_values():
+    """Repeated singular values: eigh returns an arbitrary basis of the
+    doubled eigengroup, where the naive every-other-column selection picked
+    two images of the same complex mode and dropped another. The greedy
+    complex-orthogonalizing selection must keep u orthonormal and the
+    rank-k reconstruction exact."""
+    rng = np.random.default_rng(7)
+    t, n, k = 12, 40, 6
+    uq, _ = np.linalg.qr(rng.normal(size=(t, t))
+                         + 1j * rng.normal(size=(t, t)))
+    vq, _ = np.linalg.qr(rng.normal(size=(n, t))
+                         + 1j * rng.normal(size=(n, t)))
+    sig = np.array([5.0, 3.0, 3.0, 3.0, 2.0, 2.0] + [1.0] * (t - 6))
+    movie = (uq * sig) @ vq.conj().T
+    u, s, vt, u_ref, s_ref, vt_ref = _gram_vs_exact(movie, k)
+    np.testing.assert_allclose(s, s_ref[:k], rtol=1e-6)
+    np.testing.assert_allclose(u.conj().T @ u, np.eye(k), atol=1e-6)
+    rec_got = u @ np.diag(s) @ vt
+    rec_want = u_ref[:, :k] @ np.diag(s_ref[:k]) @ vt_ref[:k]
+    np.testing.assert_allclose(rec_got, rec_want,
+                               atol=1e-6 * np.abs(rec_want).max())
+
+
+def test_svd_complex_gram_rank_deficient():
+    """Zero singular values must yield ZERO vt rows (not 1/tiny-scaled
+    rounding noise), and k clamps to min(T, N) like the exact SVD."""
+    rng = np.random.default_rng(8)
+    t, n, rank = 10, 30, 3
+    movie = ((rng.normal(size=(t, rank)) + 1j * rng.normal(size=(t, rank)))
+             @ (rng.normal(size=(rank, n)) + 1j * rng.normal(size=(rank, n))))
+    u, s, vt, u_ref, s_ref, _ = _gram_vs_exact(movie, None)
+    assert s.shape[0] == min(t, n)
+    np.testing.assert_allclose(s[:rank], s_ref[:rank], rtol=1e-6)
+    # Beyond the rank: tiny sigma, finite (zeroed) vt rows.
+    assert np.all(np.isfinite(vt))
+    tail = np.abs(vt[rank + 1:])
+    assert tail.size == 0 or tail.max() <= 1.0 + 1e-6
+    rec = u @ np.diag(s) @ vt
+    np.testing.assert_allclose(rec, movie, atol=1e-6 * np.abs(movie).max())
+
+
 def test_svd_concat_energy(source_setup):
     _, _, _, _, res, _ = source_setup
     modes = svd.decompose_concat(res.v_k)
