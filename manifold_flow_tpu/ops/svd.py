@@ -170,8 +170,41 @@ def decompose_complex(v_k: jnp.ndarray, n_modes: int | None = None) -> SVDModes:
     return SVDModes(u, s, vt, pct, pct2)
 
 
+@partial(jax.jit, static_argnames=("n_modes",))
+def _svd_concat_gram(v_k: jnp.ndarray, n_modes: int | None):
+    """Real SVD via the T x T Gram eigendecomposition, for TPU: the movie is
+    short-and-wide (T ~ 1e2 frames, 2N ~ 1e4 DOFs), so eigh(V V^T) plus one
+    back-projection costs a few MXU matmuls instead of the ~20x-emulated
+    f64 SVD of the full matrix. Runs in f32 (Gram squaring halves attainable
+    precision of SMALL singular values; leading mode energies — the S4
+    artifact — are f32-exact). Degenerate subspaces are the same gauge
+    freedom the exact SVD has; reconstruction is unaffected."""
+    x = v_k.astype(jnp.float32)
+    t = x.shape[0]
+    n_keep = min(t, x.shape[1])
+    lam, u = jnp.linalg.eigh(x @ x.T)                # ascending
+    lam = lam[::-1][:n_keep]
+    u = u[:, ::-1][:, :n_keep]
+    s = jnp.sqrt(jnp.maximum(lam, 0.0))
+    good = s > jnp.finfo(jnp.float32).eps * jnp.maximum(s[0], 1.0) * 10.0
+    inv = jnp.where(good, 1.0 / jnp.where(good, s, 1.0), 0.0)
+    vt = (u.T @ x) * inv[:, None]
+    k = n_keep if n_modes is None else min(n_modes, n_keep)
+    u, vt = fix_signs(u, vt, k)
+    pct, pct2 = mode_percentages(s)
+    return u[:, :k], s[:k], vt[:k], pct[:k], pct2[:k]
+
+
 def decompose_concat(v_k: jnp.ndarray, n_modes: int | None = None) -> SVDModes:
-    """SVD of the real concatenated movie (T, 2N) = [Re | Im]."""
+    """SVD of the real concatenated movie (T, 2N) = [Re | Im].
+
+    Exact LAPACK SVD off-TPU; the Gram-eigendecomposition fast path on TPU
+    (_svd_concat_gram)."""
+    from manifold_flow_tpu.utils.precision import on_tpu
+
+    if on_tpu():
+        u, s, vt, pct, pct2 = _svd_concat_gram(v_k, n_modes)
+        return SVDModes(u, s, vt, pct, pct2)
     u, s, vt = jnp.linalg.svd(v_k, full_matrices=False)
     k = s.shape[0] if n_modes is None else n_modes
     u, vt = fix_signs(u, vt, k)

@@ -219,6 +219,30 @@ def test_svd_complex_gram_degenerate_singular_values():
                                atol=1e-6 * np.abs(rec_want).max())
 
 
+def test_svd_concat_gram_matches_exact(source_setup):
+    """The TPU concat-SVD fast path (T x T Gram eigendecomposition in f32)
+    must match the exact SVD at f32-level accuracy: equal singular values
+    and equal rank-k reconstruction."""
+    _, _, _, _, res, _ = source_setup
+    v_k = np.asarray(res.v_k)
+    k = 4
+    u, s, vt, pct, pct2 = svd._svd_concat_gram(jnp.asarray(v_k), k)
+    u_ref, s_ref, vt_ref = np.linalg.svd(v_k, full_matrices=False)
+    # Gram squaring in f32 gives ABSOLUTE accuracy ~eps_f32 * sigma_1 on
+    # singular values (small sigmas lose relative digits quadratically) —
+    # exactly right for mode-ENERGY analysis, which is sigma_1-scaled.
+    np.testing.assert_allclose(np.asarray(s), s_ref[:k],
+                               atol=5e-4 * s_ref[0])
+    rec_got = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    rec_want = u_ref[:, :k] @ np.diag(s_ref[:k]) @ vt_ref[:k]
+    scale = np.abs(rec_want).max()
+    np.testing.assert_allclose(rec_got, rec_want, atol=2e-3 * scale)
+    # Sign convention + unit modes.
+    assert np.all(np.mean(np.asarray(u), axis=0) >= -1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(u), axis=0), 1.0,
+                               rtol=1e-5)
+
+
 def test_svd_complex_gram_rank_deficient():
     """Zero singular values must yield ZERO vt rows (not 1/tiny-scaled
     rounding noise), and k clamps to min(T, N) like the exact SVD."""
