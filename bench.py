@@ -263,9 +263,20 @@ def main():
     from manifold_flow_tpu.ops.recombine import velocity_to_world
 
     v_world = np.asarray(velocity_to_world(v_tpu, np.asarray(mesh.basis)))
-    stages = bench_analysis_stages(mesh, v_world)
-    stages.update(bench_field_stages(mesh, pot, v_tpu))
-    s3_fps = bench_end_to_end_s3(mesh, pot, times)
+    # Auxiliary stage benchmarks degrade to absent fields rather than
+    # killing the primary solve metric (the remote TPU tunnel is flaky;
+    # a transient worker crash mid-suite should not zero out the round).
+    stages = {}
+    for fn, args in ((bench_analysis_stages, (mesh, v_world)),
+                     (bench_field_stages, (mesh, pot, v_tpu))):
+        try:
+            stages.update(fn(*args))
+        except Exception as e:
+            stages[f"{fn.__name__}_error"] = f"{type(e).__name__}"
+    try:
+        s3_fps = bench_end_to_end_s3(mesh, pot, times)
+    except Exception:
+        s3_fps = float("nan")
 
     print(json.dumps({
         "metric": "optical_flow_frames_per_sec_per_chip",
