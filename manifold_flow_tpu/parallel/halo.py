@@ -801,6 +801,12 @@ def halo_refined_velocity_fields(
 
     lam64 = jnp.asarray(lambda_, jnp.float64)
     lam32 = jnp.asarray(lambda_, jnp.float32)
+    # Per-outer-step inner tolerances (solve/refine.py semantics: scalar =
+    # every step; a sequence's last entry repeats — tight-first schedules
+    # measured best, see solve_refined's docstring).
+    if not isinstance(inner_tol, (tuple, list)):
+        inner_tol = (inner_tol,)
+    inner_sched = np.asarray(inner_tol, np.float32)
 
     def run(pot, tms):
         dt = (tms[1:] - tms[:-1])[:, None]
@@ -878,7 +884,9 @@ def halo_refined_velocity_fields(
 
             def body(state):
                 x, r, total, step = state
-                inner = solve_cg(op32, r.hi, precond=pre, tol=inner_tol,
+                step_tol = jnp.asarray(inner_sched)[
+                    jnp.minimum(step, inner_sched.shape[0] - 1)]
+                inner = solve_cg(op32, r.hi, precond=pre, tol=step_tol,
                                  max_iter=max_iter, psum_axis="mesh")
                 x = df32.add(x, df32.from_f32(inner.x))
                 r = op_df.residual(f_df, x)

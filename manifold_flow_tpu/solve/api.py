@@ -65,7 +65,7 @@ def compute_velocity_fields(
     precond: str = "auto",
     coarse_passes: int | None = None,
     coarse_a1: str = "full",
-    inner_tol: float = 1e-3,
+    inner_tol=(1e-3, 1e-2),
     anchor_stride: int = 1,
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
@@ -99,7 +99,14 @@ def compute_velocity_fields(
       inner_tol: (refined method) relative tolerance of each f32 inner PCG
         solve; the true per-outer-step reduction floors at ~cond * eps_f32,
         so 1e-3 matches 1e-5's outer-step count with ~45% fewer iterations
-        (see solve.refine.solve_refined).
+        (see solve.refine.solve_refined). A sequence gives per-outer-step
+        tolerances (last entry repeats). Measured on chip (bench scale,
+        tol 1e-6): the FIRST step's inner accuracy dominates the delivered
+        solution error (its low-mode error is invisible to later residual
+        corrections), while later corrections are ~1e-2 smaller each step,
+        so their sloppiness contributes proportionally less. The tight-first
+        default (1e-3, 1e-2) runs 81 inner iterations at RMSE 3.9e-6 vs
+        108 at 3.2e-6 for scalar 1e-3 — +13% end-to-end, same outer count.
       anchor_stride: (refined method) temporal warm start: solve every
         s-th frame first and start the full solve from the time-interpolated
         anchors. Measured a net LOSS on single-chip at reference scale
