@@ -46,6 +46,15 @@ class Streamlines(NamedTuple):
     lengths: jnp.ndarray   # (S,) number of points in each streamline
 
 
+# First-repeat detection strategy crossover (see trace): all-pairs compare
+# up to this window, composite-key sort beyond. Measured on chip at
+# reference scale (97 frames x 3.1k vertices): pairwise w=64 269 ms ~= the
+# sort, w=96 471 ms — the quadratic compare volume overtakes the sort's
+# ~log^2 W passes between those, so only the adaptive tracer's initial
+# window (64) takes the pairwise path and escalations keep the sort.
+PAIRWISE_MAX_WINDOW = 72
+
+
 def _cross2(a, b):
     return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
 
@@ -155,6 +164,16 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     by min length, matching S6:29 + S6:135-138). `quirks` reproduces the
     reference's single-shared-cell index bug (module docstring).
 
+    One-frame wrapper over the batched tracer (see trace_frames)."""
+    sl = _trace_batched(mesh, v_world_frame[None], max_steps=max_steps,
+                        quirks=quirks)
+    return Streamlines(vertices=sl.vertices[0], lengths=sl.lengths[0])
+
+
+def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
+                   max_steps: int, quirks: bool) -> Streamlines:
+    """All frames, all seeds, one flat id space.
+
     The next hop depends only on the current vertex, so the hop table is a
     FUNCTIONAL GRAPH (halting vertices made self-loops): every walk is a
     rho-shaped path, and the no-revisit stop (S6:39-49) fires exactly on the
@@ -163,17 +182,26 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     jump table f^(2^k) — so the whole movie needs only log2(max_steps)
     sequential gather rounds instead of O(max_steps) scan steps (sequential
     tiny-kernel scans made this stage ~50x slower than every other analysis
-    op at reference scale: 18 fps vs a ~2500 fps detection pass). The
-    first-repeat step (= walk length) comes from ONE stable sort of
-    (vertex, step) pairs along the step axis.
-    """
-    n = mesh.n_vertices
-    idx = jnp.arange(n, dtype=jnp.int32)
-    next_tab, ok_tab = _next_hop_tables(mesh, v_world_frame, quirks=quirks)
-    f = jnp.where(ok_tab, next_tab, idx)          # halting => fixed point
+    op at reference scale: 18 fps vs a ~2500 fps detection pass).
 
-    # Pointer doubling: seq (N, P) holds f^i[seed] for steps i = 0..P-1.
-    seq = idx[:, None]
+    The T frames' hop tables are fused into ONE (T*N,) table over global ids
+    (frame k's vertex v = k*N + v; every frame's walk stays inside its own
+    block), so each doubling round is a single large flat gather. The
+    per-frame vmapped formulation compiled to 97 small gathers per round and
+    ran 4.4x slower at reference scale (217 ms vs 49 ms of doubling).
+    """
+    t = v_world.shape[0]
+    n = mesh.n_vertices
+    next_tab, ok_tab = jax.vmap(
+        lambda v: _next_hop_tables(mesh, v, quirks=quirks))(v_world)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    f_local = jnp.where(ok_tab, next_tab, idx[None])  # halting => fixed point
+    offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
+    f = (f_local + offs).reshape(-1)                  # (T*N,) global ids
+    idxg = jnp.arange(t * n, dtype=jnp.int32)
+
+    # Pointer doubling: seq (T*N, P) holds f^i[seed] for steps i = 0..P-1.
+    seq = idxg[:, None]
     jump = f
     p = 1
     while p < max_steps:
@@ -181,34 +209,47 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
         jump = jump[jump]
         p *= 2
     if p == max_steps:  # one extra column for step max_steps itself
-        seq = jnp.concatenate([seq, jump[idx][:, None]], axis=1)
-    seq = seq[:, : max_steps + 1]                          # (N, L+1)
+        seq = jnp.concatenate([seq, jump[idxg][:, None]], axis=1)
+    seq = seq[:, : max_steps + 1]                     # (T*N, L+1)
 
-    # Walk length = first step whose vertex already occurred. Sorting
-    # (vertex, step) pairs puts steps ascending within equal-vertex runs, so
-    # every non-first element of a run is a revisit; the earliest such step
-    # is the rho length mu + lam (or the cap when the walk never repeats
-    # in-window). One single-key sort of a composite integer beats the
-    # variadic two-operand sort when vertex * width fits int32.
+    # Walk length = first step whose vertex already occurred. For small
+    # windows an all-pairs equality test (any i<j with seq[i]==seq[j]) fuses
+    # into one VPU compare+reduce — no sort passes at all; the quadratic
+    # term W^2 stays cheaper than the sort's W log^2 W passes until the
+    # (rows, W, W) tile volume takes over. Larger windows fall back to
+    # sorting (vertex, step) pairs: steps ascend within equal-vertex runs,
+    # so every non-first element of a run is a revisit; the earliest such
+    # step is the rho length mu + lam (or the cap when the walk never
+    # repeats in-window). Walks stay within their frame's id block, so the
+    # comparisons work unchanged on global ids.
     width = max_steps + 2
     steps = jnp.arange(max_steps + 1, dtype=jnp.int32)
-    if n * width <= jnp.iinfo(jnp.int32).max:
-        key = jax.lax.sort(seq * jnp.int32(width) + steps[None, :],
-                           dimension=1)
-        v_sorted = key // width
-        repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
-        s_sorted = key[:, 1:] % width
-    else:  # >8M-vertex meshes: lexicographic two-operand sort
-        v_sorted, s_all = jax.lax.sort(
-            (seq, jnp.broadcast_to(steps, seq.shape)), dimension=1,
-            num_keys=2)
-        repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
-        s_sorted = s_all[:, 1:]
-    lengths = jnp.min(
-        jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
+    if max_steps + 1 <= PAIRWISE_MAX_WINDOW:
+        eq = (seq[:, :, None] == seq[:, None, :]) \
+            & (steps[:, None] < steps[None, :])
+        repeat_j = jnp.any(eq, axis=1)                     # (T*N, W)
+        lengths = jnp.min(
+            jnp.where(repeat_j, steps[None, :], max_steps + 1), axis=1)
+    else:
+        if t * n * width <= jnp.iinfo(jnp.int32).max:
+            key = jax.lax.sort(seq * jnp.int32(width) + steps[None, :],
+                               dimension=1)
+            v_sorted = key // width
+            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+            s_sorted = key[:, 1:] % width
+        else:  # huge movies: lexicographic two-operand sort
+            v_sorted, s_all = jax.lax.sort(
+                (seq, jnp.broadcast_to(steps, seq.shape)), dimension=1,
+                num_keys=2)
+            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+            s_sorted = s_all[:, 1:]
+        lengths = jnp.min(
+            jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
 
-    slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, :]
-    visited = jnp.where(slot < lengths[:, None], seq, PAD_INDEX)
+    seq_local = seq.reshape(t, n, -1) - offs[:, :, None]
+    lengths = lengths.reshape(t, n)
+    slot = steps[None, None, :]
+    visited = jnp.where(slot < lengths[..., None], seq_local, PAD_INDEX)
     return Streamlines(vertices=visited.astype(jnp.int32), lengths=lengths)
 
 
@@ -219,9 +260,10 @@ def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
 
     One dispatch for the whole movie instead of one per frame — the per-call
     latency of a remote accelerator (tens of ms) would otherwise dominate
-    the per-frame tracing cost."""
-    return jax.vmap(
-        lambda v: trace(mesh, v, max_steps=max_steps, quirks=quirks))(v_world)
+    the per-frame tracing cost. Internally all frames share one flat id
+    space so each pointer-doubling round is a single large gather
+    (_trace_batched)."""
+    return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks)
 
 
 def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
