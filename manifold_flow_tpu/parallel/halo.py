@@ -758,7 +758,7 @@ def halo_refined_velocity_fields(
     device_mesh: Mesh,
     lambda_: float = 0.01,
     tol: float = 1e-8,
-    inner_tol: float = 1e-3,
+    inner_tol=None,
     max_iter: int = 2000,
     refine_steps: int = 8,
     precond: str = "auto",
@@ -804,9 +804,12 @@ def halo_refined_velocity_fields(
     # Per-outer-step inner tolerances (solve/refine.py semantics: scalar =
     # every step; a sequence's last entry repeats — tight-first schedules
     # measured best, see solve_refined's docstring).
-    if not isinstance(inner_tol, (tuple, list)):
-        inner_tol = (inner_tol,)
-    inner_sched = np.asarray(inner_tol, np.float32)
+    from manifold_flow_tpu.solve.refine import (
+        DEFAULT_INNER_TOL, as_inner_schedule)
+
+    if inner_tol is None:
+        inner_tol = DEFAULT_INNER_TOL
+    inner_sched = np.asarray(as_inner_schedule(inner_tol), np.float32)
 
     def run(pot, tms):
         dt = (tms[1:] - tms[:-1])[:, None]

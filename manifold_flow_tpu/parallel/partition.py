@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from manifold_flow_tpu.geometry.mesh import TriMesh
 from manifold_flow_tpu.solve.api import VelocityResult
+from manifold_flow_tpu.solve.refine import DEFAULT_INNER_TOL
 
 
 def make_device_mesh(n_frame_shards: int | None = None,
@@ -61,7 +62,7 @@ def sharded_compute_velocity_fields(
     max_iter: int = 2000,
     method: str = "cg",
     precond: str = "auto",
-    inner_tol: float = 1e-3,
+    inner_tol=DEFAULT_INNER_TOL,
 ) -> VelocityResult:
     """Distributed equivalent of solve.api.compute_velocity_fields.
 
@@ -163,7 +164,7 @@ def _frames_sharded_cg(mesh, potentials, times, device_mesh, lambda_, tol,
 
 def _frames_sharded_refined(mesh, potentials, times, device_mesh, lambda_,
                             tol, max_iter, precond: str = "auto",
-                            inner_tol: float = 1e-3):
+                            inner_tol=DEFAULT_INNER_TOL):
     """Frame-sharded two-float32 refined solve (f64-grade accuracy).
 
     Assembly is replicated (cheap relative to the solve); each frame shard

@@ -21,10 +21,16 @@ class SolverConfig:
     time_steps: int = 98           # config.yaml:5
     method: str = "auto"           # 'auto' | 'cg' | 'cholesky' | 'refined'
     tol: float = 1e-8
-    # Inner f32 PCG tolerance of the refined method; the true per-outer-step
-    # reduction floors at ~cond*eps_f32, so 1e-3 matches 1e-5's outer-step
-    # count with ~45% fewer iterations (solve/refine.py).
-    inner_tol: float = 1e-3
+    # Inner f32 PCG tolerance(s) of the refined method: a scalar applies to
+    # every outer step; a tuple is a per-outer-step schedule (last entry
+    # repeats). Default = solve.refine.DEFAULT_INNER_TOL, the measured-best
+    # tight-first schedule — the first step's inner accuracy sets the
+    # delivered error while later corrections shrink ~1e-2/step, so loosening
+    # them is free speed (solve/refine.py). YAML expresses a schedule as a
+    # list: `inner_tol: [1e-3, 1e-2]`. The literal here must equal
+    # solve.refine.DEFAULT_INNER_TOL (config stays jax-import-free); a test
+    # pins the two together (tests/test_pipeline.py).
+    inner_tol: "float | tuple" = (1e-3, 1e-2)
     max_iter: int = 2000
     # Frames that fail `tol` at max_iter are re-solved with the refined
     # (two-float32, direct-solver-accuracy) method before warning; set False
@@ -123,7 +129,10 @@ class PipelineConfig:
 
         def num(v):
             # YAML 1.1 parses exponent literals without a dot ('1e-4') as
-            # strings; the reference's config.yaml uses that form.
+            # strings; the reference's config.yaml uses that form. Lists
+            # (inner_tol schedules) normalize elementwise to a tuple.
+            if isinstance(v, (list, tuple)):
+                return tuple(num(x) for x in v)
             if isinstance(v, str):
                 try:
                     return float(v)

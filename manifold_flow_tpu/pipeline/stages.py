@@ -210,11 +210,14 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
             f"frame {int(k)}: |r|={r:.3e}" for k, r in zip(bad[:8], resid[:8]))
         if len(bad) > 8:
             detail += f", ... ({len(bad)} frames total)"
+        # Mesh-sharded runs escalate too: parallel.partition dispatches
+        # method='refined' to the halo-exchange refined solver
+        # (halo_refined_velocity_fields), so the safety net holds under any
+        # ('frames', 'mesh') layout.
         can_escalate = (
             config.solver.escalate
             and method not in ("refined", "cholesky")
-            and jnp.asarray(potentials).dtype == jnp.float64
-            and (device_mesh is None or device_mesh.shape.get("mesh", 1) == 1))
+            and jnp.asarray(potentials).dtype == jnp.float64)
         if can_escalate:
             warnings.warn(
                 f"velocity solve failed tol={config.solver.tol} on "

@@ -22,6 +22,7 @@ from manifold_flow_tpu.fem.operator import (
 from manifold_flow_tpu.geometry.mesh import TriMesh
 from manifold_flow_tpu.solve.cg import solve_cg
 from manifold_flow_tpu.solve.cholesky import solve_cholesky
+from manifold_flow_tpu.solve.refine import DEFAULT_INNER_TOL
 
 
 # precond='auto' crossover: measured on TPU v5e (bench problem family), the
@@ -65,7 +66,7 @@ def compute_velocity_fields(
     precond: str = "auto",
     coarse_passes: int | None = None,
     coarse_a1: str = "full",
-    inner_tol=(1e-3, 1e-2),
+    inner_tol=DEFAULT_INNER_TOL,
     anchor_stride: int = 1,
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
