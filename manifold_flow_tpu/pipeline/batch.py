@@ -43,17 +43,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 DEVICE_STAGES = ("flow", "decompose", "wavespeed", "streamline", "winding")
-
-# Artifacts each stage produces inside the trial directory; a stage is
-# "done" (skippable) when every one of them exists.
-_STAGE_ARTIFACTS = {
-    "flow": ("V_k.csv", "singularity_points.pkl",
-             "wave_velocity_opticalflow.pkl.bz2"),
-    "decompose": ("data_01.npz",),
-    "wavespeed": ("wave_velocity_phase.pkl.bz2",),
-    "streamline": ("streamlines.pkl.bz2",),
-    "winding": ("winding_lines.pkl.bz2",),
-}
+# The amplitude wave-speed variant (S5_compute_wave_v.py:14-58) exists in the
+# reference but is never wired into its main; it is opt-in here too.
+ALL_STAGES = DEVICE_STAGES + ("wavespeed_amplitude",)
 
 
 class TrialRef(NamedTuple):
@@ -134,9 +126,68 @@ def _find_sfreq(trial: TrialRef) -> float | None:
     return None
 
 
-def stage_done(trial: TrialRef, stage: str) -> bool:
-    return all((trial.trial_dir / a).exists()
-               for a in _STAGE_ARTIFACTS[stage])
+def trial_prefix(trial: TrialRef) -> str:
+    """Per-trial artifact-name stem, recovered from the movie filename.
+
+    The reference derives every artifact name from one stem,
+    `{subfolder}_{ses}_task-SPESclin_run-{run}-{trial}` (S3_compute_v_and_
+    detection_singularity.py:44-53), and the interpolated movie is
+    `{stem}-ave-interpolation_data.csv` (S2_interpolate.py:157) — so the stem
+    is the movie filename minus that suffix. Movies that don't follow the
+    convention get bare artifact names."""
+    name = trial.movie_path.name
+    for suf in ("-ave-interpolation_data.csv", "-interpolation_data.csv"):
+        if name.endswith(suf):
+            return name[: -len(suf)]
+    return ""
+
+
+def artifact_names(prefix: str) -> dict:
+    """Reference on-disk artifact names for one trial (§2.2 SURVEY.md):
+    prefixed like S3/S5/S7 build them; data_01.npz and the per-frame
+    streamline files are unprefixed in the reference too
+    (S4_...ConcatMatrices .py:166, S6_streamline.py:260)."""
+    p = f"{prefix}-" if prefix else ""
+    return {
+        "v_k": f"{p}V_k.csv",                                  # S3:47
+        "singularity": f"{p}singularity_points.pkl",           # S3:49
+        "speed": f"{p}wave_velocity_opticalflow.pkl.bz2",      # S3:53
+        "decompose": "data_01.npz",                            # S4:166
+        "wavespeed": f"{p}wave_velocity.pkl.bz2",              # S5:316
+        "wavespeed_amplitude": f"{p}wave_velocity_amplitude.pkl.bz2",
+        "streamline_fmt": "t_velocityfields_streamlines_{frame}.pkl.bz2",
+        "winding": f"{p}winding_lines.pkl.bz2",                # S7:259
+    }
+
+
+def _movie_frames(trial: TrialRef, config=None) -> int:
+    """Movie frame count (CSV data rows, capped by solver.time_steps) —
+    needed to enumerate the per-frame streamline artifacts."""
+    with open(trial.movie_path, "r", encoding="utf-8") as f:
+        rows = max(sum(1 for _ in f) - 1, 0)  # minus header
+    ts = getattr(getattr(config, "solver", None), "time_steps", None)
+    return min(rows, ts) if ts else rows
+
+
+def stage_artifacts(trial: TrialRef, stage: str, config=None):
+    """Paths a stage produces; a stage is 'done' (skippable) when every one
+    exists."""
+    names = artifact_names(trial_prefix(trial))
+    d = trial.trial_dir
+    if stage == "flow":
+        return [d / names["v_k"], d / names["singularity"],
+                d / names["speed"]]
+    if stage == "streamline":
+        t = _movie_frames(trial, config)
+        return [d / names["streamline_fmt"].format(frame=k)
+                for k in range(max(t - 1, 1))]
+    if stage in ("decompose", "wavespeed", "wavespeed_amplitude", "winding"):
+        return [d / names[stage]]
+    raise ValueError(f"unknown batch stage {stage!r}")
+
+
+def stage_done(trial: TrialRef, stage: str, config=None) -> bool:
+    return all(a.exists() for a in stage_artifacts(trial, stage, config))
 
 
 def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
@@ -150,7 +201,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
 
     result = {}
     todo = [s for s in stages
-            if overwrite or not stage_done(trial, s)]
+            if overwrite or not stage_done(trial, s, config)]
     for s in stages:
         if s not in todo:
             result[s] = "skipped"
@@ -164,10 +215,28 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
         if mesh_cache is not None:
             mesh_cache[trial.surface_path] = mesh
     d = trial.trial_dir
+    names = artifact_names(trial_prefix(trial))
 
     movie = None
     vel = None
     v_world_cache = None
+    sfreq_cache = [sfreq, sfreq is not None]
+
+    def get_sfreq():
+        """Sampling frequency, warning loudly on the unit-dt fallback: times
+        silently becoming frame indices is the same seconds-vs-unit-dt
+        ambiguity the reference itself carries between its S3 driver and
+        compute_optical_flow's __main__ (SURVEY.md §7.3)."""
+        if not sfreq_cache[1]:
+            sfreq_cache[0] = _find_sfreq(trial)
+            sfreq_cache[1] = True
+            if sfreq_cache[0] is None:
+                logger.warning(
+                    "batch: %s: no SamplingFrequency sidecar JSON found near "
+                    "%s; falling back to unit dt (times = frame indices) — "
+                    "velocities and wave speeds will be in per-frame, not "
+                    "per-second, units", trial.key, trial.trial_dir)
+        return sfreq_cache[0]
 
     def get_movie():
         nonlocal movie
@@ -179,7 +248,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
         return movie
 
     def get_times(n):
-        f = sfreq if sfreq is not None else _find_sfreq(trial)
+        f = get_sfreq()
         return (np.arange(n) / f if f
                 else np.arange(n, dtype=np.float64))
 
@@ -191,10 +260,10 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
             return vel.v_world
         if v_world_cache is not None:
             return v_world_cache
-        if stage_done(trial, "flow") and "flow" not in todo:
+        if stage_done(trial, "flow", config) and "flow" not in todo:
             from manifold_flow_tpu.ops.recombine import velocity_to_world
 
-            v_k = io.load_indexed_csv(d / "V_k.csv")
+            v_k = io.load_indexed_csv(d / names["v_k"])
             v_world_cache = np.asarray(velocity_to_world(v_k, mesh.basis))
             return v_world_cache
         raise RuntimeError(
@@ -207,37 +276,47 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
             m = get_movie()
             vel = S.velocity_stage(
                 mesh, m, get_times(m.shape[0]), config,
-                e_path=trial.surface_path.parent / "e.csv",
-                v_k_path=d / "V_k.csv",
-                speed_path=d / "wave_velocity_opticalflow.pkl.bz2")
+                # S3:46 writes e per subject: {subfolder}_e.csv.
+                e_path=trial.surface_path.parent / f"{trial.subject}_e.csv",
+                v_k_path=d / names["v_k"],
+                speed_path=d / names["speed"])
             S.singularity_stage(mesh, vel.v_world, config,
-                                save_path=d / "singularity_points.pkl")
+                                save_path=d / names["singularity"])
         elif s == "decompose":
             if vel is not None:
                 v_k = vel.v_k
             else:
-                v_k = io.load_indexed_csv(d / "V_k.csv") if (
-                    d / "V_k.csv").exists() else None
+                v_k = io.load_indexed_csv(d / names["v_k"]) if (
+                    d / names["v_k"]).exists() else None
             if v_k is None:
-                raise RuntimeError(f"{trial.key}: decompose needs V_k.csv")
+                raise RuntimeError(
+                    f"{trial.key}: decompose needs {names['v_k']}")
             S.decompose_stage(v_k, config, mode="concat",
-                              npz_path=d / "data_01.npz")
-        elif s == "wavespeed":
-            if trial.phases_path is None:
-                result[s] = "skipped"
-                continue
-            phases = io.load_indexed_csv(trial.phases_path)
-            f = sfreq if sfreq is not None else _find_sfreq(trial)
-            S.wavespeed_stage(mesh, phases, dt=1.0 / f if f else 1.0,
-                              method="phase",
-                              save_path=d / "wave_velocity_phase.pkl.bz2")
+                              npz_path=d / names["decompose"])
+        elif s in ("wavespeed", "wavespeed_amplitude"):
+            if s == "wavespeed":
+                if trial.phases_path is None:
+                    result[s] = "skipped"
+                    continue
+                m = io.load_indexed_csv(trial.phases_path)
+                method = "phase"
+            else:
+                m = get_movie()
+                method = "amplitude"
+            f = get_sfreq()
+            S.wavespeed_stage(mesh, m, dt=1.0 / f if f else 1.0,
+                              method=method, save_path=d / names[s])
         elif s == "streamline":
-            lines = S.streamline_stage(mesh, get_velocity(), config)
-            io.save_pickle(d / "streamlines.pkl.bz2", lines)
+            # Per-frame files, the reference's layout (S6:258-262): a
+            # consumer globbing t_velocityfields_streamlines_<k>.pkl.bz2
+            # finds one dict {frame: lines} per frame.
+            S.streamline_stage(
+                mesh, get_velocity(), config,
+                save_path_fmt=str(d / names["streamline_fmt"]))
         elif s == "winding":
-            pts = io.load_pickle(d / "singularity_points.pkl")
+            pts = io.load_pickle(d / names["singularity"])
             S.winding_stage(mesh, get_velocity(), pts, config,
-                            save_path=d / "winding_lines.pkl.bz2")
+                            save_path=d / names["winding"])
         else:
             raise ValueError(f"unknown batch stage {s!r}")
         result[s] = "done"

@@ -440,7 +440,7 @@ def build_parser():
                     default=["flow", "decompose", "wavespeed", "streamline",
                              "winding"],
                     choices=["flow", "decompose", "wavespeed", "streamline",
-                             "winding"])
+                             "winding", "wavespeed_amplitude"])
     sp.add_argument("--subjects", nargs="*", default=None)
     sp.add_argument("--sfreq", type=float, default=None,
                     help="overrides the BIDS sidecar SamplingFrequency")

@@ -398,6 +398,10 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
     n_frames = min(len(singularity_points), v.shape[0])
     caps = [len(singularity_points[t]) for t in range(n_frames)]
     smax = max(caps, default=0)
+    # Round the capacity to a bucket (like classification's round-to-8) so
+    # cohort sweeps with varying singularity counts reuse one compiled
+    # program instead of retracing per trial/frame-count.
+    smax = -(-smax // 8) * 8
     if smax == 0:
         winding_lines = {}
     else:

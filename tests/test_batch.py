@@ -91,14 +91,22 @@ def test_run_batch_full_then_resume(results_tree):
     # No phases movie -> wavespeed skipped for the second trial.
     assert report["trials"]["sub-01/run-001/E3-E4"]["wavespeed"] == "skipped"
     assert report["trials"]["sub-01/run-001/E3-E4"]["winding"] == "done"
-    # Artifacts landed in the reference's formats.
+    # Artifacts landed in the reference's formats AND names: every per-trial
+    # file carries the movie's stem prefix (here 'sub_task'), streamlines are
+    # per-frame files (S6:258-262), and e is per subject (S3:46).
     tdir = root / "sub-01/run-001/E1-E2"
-    for name in ("V_k.csv", "singularity_points.pkl",
-                 "wave_velocity_opticalflow.pkl.bz2", "data_01.npz",
-                 "wave_velocity_phase.pkl.bz2", "streamlines.pkl.bz2",
-                 "winding_lines.pkl.bz2"):
+    for name in ("sub_task-V_k.csv", "sub_task-singularity_points.pkl",
+                 "sub_task-wave_velocity_opticalflow.pkl.bz2", "data_01.npz",
+                 "sub_task-wave_velocity.pkl.bz2",
+                 "sub_task-winding_lines.pkl.bz2"):
         assert (tdir / name).exists(), name
-    assert (root / "sub-01" / "e.csv").exists()
+    # 5 movie frames -> 4 velocity frames -> 4 per-frame streamline files.
+    sl = sorted(tdir.glob("t_velocityfields_streamlines_*.pkl.bz2"))
+    assert [p.name for p in sl] == [
+        f"t_velocityfields_streamlines_{k}.pkl.bz2" for k in range(4)]
+    # Each holds a single-frame dict keyed by the frame index (S6 format).
+    assert list(io.load_pickle(sl[2])) == ["2"]
+    assert (root / "sub-01" / "sub-01_e.csv").exists()
 
     # Resume: a second sweep skips every stage of every trial.
     report2 = batch.run_batch(root, cfg)
@@ -126,6 +134,84 @@ def test_downstream_stage_resumes_from_artifacts(results_tree):
     res = batch.run_trial(trials[2], cfg, stages=("streamline", "winding"),
                           overwrite=True)
     assert res == {"streamline": "done", "winding": "done"}
+
+
+def _reference_style_tree(tmp_path, n_frames=5, phases=True):
+    """One trial named exactly like the reference's S2 output."""
+    mesh = synthetic.plane_patch(
+        nx=12, ny=12, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+    root = tmp_path / "results"
+    subj = root / "sub-01"
+    subj.mkdir(parents=True)
+    io.write_ply(subj / "sub-01_reconstructed_surface.ply",
+                 np.asarray(mesh.points), np.asarray(mesh.triangles))
+    stem = "sub-01_ses-1_task-SPESclin_run-021-E1-E2"
+    tdir = subj / "run-021" / "E1-E2"
+    tdir.mkdir(parents=True)
+    pot, _, _ = synthetic.two_source_movie(
+        mesh, sources=((2.0, 2.0), (6.0, 6.0)), n_frames=n_frames)
+    io.save_indexed_csv(tdir / f"{stem}-ave-interpolation_data.csv",
+                        np.asarray(pot))
+    if phases:
+        rng = np.random.default_rng(0)
+        io.save_indexed_csv(
+            tdir / f"{stem}-ave-interpolation_phases_data.csv",
+            rng.uniform(-np.pi, np.pi, size=np.asarray(pot).shape))
+    (subj / "sub-01_ieeg.json").write_text(
+        json.dumps({"SamplingFrequency": 512}))
+    return root, tdir, stem
+
+
+@pytest.mark.parametrize("quirks", [False, True])
+def test_reference_artifact_layout_parity(tmp_path, quirks):
+    """VERDICT r2 #3 'done' gate: run_trial on a reference-named tree leaves
+    EXACTLY the file set a reference consumer would glob (S3:44-53,
+    S5:316-318, S6:258-262, S7:259-261, S4_...ConcatMatrices .py:166), in
+    both quirk modes."""
+    root, tdir, stem = _reference_style_tree(tmp_path, n_frames=5)
+    cfg = PipelineConfig()
+    cfg.reference_quirks = quirks
+    trials = batch.discover_trials(root)
+    assert len(trials) == 1 and batch.trial_prefix(trials[0]) == stem
+    report = batch.run_trial(
+        trials[0], cfg, stages=batch.ALL_STAGES)
+    assert report == {s: "done" for s in batch.ALL_STAGES}
+    produced = {p.name for p in tdir.iterdir()}
+    inputs = {f"{stem}-ave-interpolation_data.csv",
+              f"{stem}-ave-interpolation_phases_data.csv"}
+    want = {
+        f"{stem}-V_k.csv",
+        f"{stem}-singularity_points.pkl",
+        f"{stem}-wave_velocity_opticalflow.pkl.bz2",
+        f"{stem}-wave_velocity.pkl.bz2",
+        f"{stem}-wave_velocity_amplitude.pkl.bz2",
+        f"{stem}-winding_lines.pkl.bz2",
+        "data_01.npz",
+    } | {f"t_velocityfields_streamlines_{k}.pkl.bz2" for k in range(4)}
+    assert produced - inputs == want
+    assert (root / "sub-01" / "sub-01_e.csv").exists()
+    # The wave-speed artifacts load as (T, N) arrays (S5's format).
+    ws = io.load_pickle(tdir / f"{stem}-wave_velocity.pkl.bz2")
+    assert ws.shape == (5, 144)
+    wsa = io.load_pickle(tdir / f"{stem}-wave_velocity_amplitude.pkl.bz2")
+    assert wsa.shape == (5, 144)
+    assert np.all(np.isfinite(wsa))
+
+
+def test_unit_dt_fallback_warns(tmp_path, caplog):
+    """Missing SamplingFrequency must warn (naming the trial) before times
+    silently degrade to frame indices (VERDICT r2 weak #7)."""
+    import logging
+
+    root, tdir, stem = _reference_style_tree(tmp_path, phases=False)
+    (root / "sub-01" / "sub-01_ieeg.json").unlink()
+    trials = batch.discover_trials(root)
+    with caplog.at_level(logging.WARNING, logger="manifold_flow_tpu"):
+        batch.run_trial(trials[0], PipelineConfig(), stages=("flow",))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("SamplingFrequency" in m and trials[0].key in m
+               for m in msgs), msgs
 
 
 def test_per_trial_isolation(tmp_path):
