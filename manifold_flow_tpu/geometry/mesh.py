@@ -81,10 +81,12 @@ class TriMesh:
     edge_cells: jnp.ndarray
     n_vertices: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
-    n_valid_vertices: int = dataclasses.field(
-        default=0, metadata=dict(static=True))
-    n_valid_triangles: int = dataclasses.field(
-        default=0, metadata=dict(static=True))
+    # Valid (non-padding) counts are DATA leaves, not static fields: two
+    # surfaces padded to the same shape bucket then share every compiled
+    # program — the jit cache keys on shapes and static fields only, and the
+    # valid count rides along as a scalar operand. 0 means "all valid".
+    n_valid_vertices: int = 0
+    n_valid_triangles: int = 0
 
     @property
     def n_dof(self) -> int:
@@ -92,17 +94,27 @@ class TriMesh:
         return 2 * self.n_vertices
 
     @property
-    def valid_vertices(self) -> int:
-        """Count of REAL (non-padding) vertices."""
-        return self.n_valid_vertices or self.n_vertices
+    def valid_vertices(self):
+        """Count of REAL (non-padding) vertices.
+
+        A Python int on concrete meshes; a traced scalar inside jit (ops mask
+        with it unconditionally — on unpadded meshes the mask is all-true)."""
+        n = self.n_valid_vertices
+        if isinstance(n, jax.core.Tracer):
+            return jnp.where(n > 0, n, self.n_vertices)
+        return int(n) or self.n_vertices
 
     @property
-    def valid_triangles(self) -> int:
-        """Count of REAL (non-padding) triangles."""
-        return self.n_valid_triangles or self.n_triangles
+    def valid_triangles(self):
+        """Count of REAL (non-padding) triangles (see valid_vertices)."""
+        n = self.n_valid_triangles
+        if isinstance(n, jax.core.Tracer):
+            return jnp.where(n > 0, n, self.n_triangles)
+        return int(n) or self.n_triangles
 
     @property
     def is_padded(self) -> bool:
+        """Host-side only: needs a concrete (untraced) mesh."""
         return (self.valid_vertices != self.n_vertices
                 or self.valid_triangles != self.n_triangles)
 
@@ -244,20 +256,42 @@ def build_mesh(points, triangles, normals=None, dtype=None) -> TriMesh:
     )
 
 
+def _pad_cols(a: np.ndarray, multiple: int, fill: int) -> np.ndarray:
+    w = a.shape[1]
+    w2 = -(-w // multiple) * multiple
+    if w2 == w:
+        return a
+    out = np.full((a.shape[0], w2), fill, dtype=a.dtype)
+    out[:, :w] = a
+    return out
+
+
+def _pad_rows(a: np.ndarray, multiple: int, fill: int) -> np.ndarray:
+    r = a.shape[0]
+    r2 = -(-r // multiple) * multiple
+    if r2 == r:
+        return a
+    out = np.full((r2,) + a.shape[1:], fill, dtype=a.dtype)
+    out[:r] = a
+    return out
+
+
 def pad_mesh(mesh: TriMesh, vertex_multiple: int = 128,
-             triangle_multiple: int = 256) -> TriMesh:
+             triangle_multiple: int = 256, table_multiple: int = 8,
+             edge_multiple: int = 2048) -> TriMesh:
     """Round the mesh's array shapes up to multiples for TPU tiling and —
     the bigger win on a remote accelerator — fixed-shape program reuse:
-    surfaces padded to the same bucket share every compiled kernel instead
-    of recompiling per subject/run (jit keys on static shapes).
+    surfaces padded to the same bucket share one compiled program per kernel
+    instead of recompiling per subject/run. The jit cache keys on EVERY
+    pytree leaf's shape, so the topology tables are bucketed too: adjacency
+    widths round to `table_multiple` and the unique-edge table to
+    `edge_multiple` rows (all consumers mask on PAD_INDEX already), and the
+    valid counts ride along as scalar data leaves rather than static fields.
 
-    Padding triangles reference only padding vertices (never vertex 0 —
-    that would corrupt real adjacency/cell counts), cycled across the pad
-    vertices so no single pad vertex inflates the incidence table width.
-    Padding vertices get normal (0, 0, 1) (any unit vector works; they are
-    excluded from every op via `valid_vertices`) and coordinates far outside
-    the bounding box so closest-point snapping can never pick them even
-    without the explicit mask.
+    Padding never touches real topology: pad rows are appended to the
+    already-precomputed arrays (no rebuild), pad vertices carry EMPTY
+    adjacency rows (zero extra gather traffic in the FEM matvec), and pad
+    triangles reference one pad vertex with zero area/gradients/integrals.
     """
     n = mesh.valid_vertices
     m = mesh.valid_triangles
@@ -266,27 +300,104 @@ def pad_mesh(mesh: TriMesh, vertex_multiple: int = 128,
     n_pad = -(-n // vertex_multiple) * vertex_multiple
     m_pad = -(-m // triangle_multiple) * triangle_multiple
     if m_pad > m and n_pad == n:
-        n_pad += vertex_multiple  # need at least one pad vertex to anchor
-    if n_pad == n and m_pad == m:
-        return mesh
+        n_pad += vertex_multiple  # pad triangles need a pad corner vertex
 
     points = np.asarray(mesh.points)
-    tris = np.asarray(mesh.triangles)
+    fdt = points.dtype
+    qv, qm = n_pad - n, m_pad - m
+    # Pad rows are INERT, appended to the precomputed arrays directly (no
+    # topology rebuild): pad vertices have empty adjacency rows (so they add
+    # zero gather traffic in the FEM matvec and no graph edges), pad
+    # triangles reference one pad vertex with zero area/gradients/integrals
+    # (so they contribute nothing to assembly), and pad coordinates sit far
+    # outside the bounding box so closest-point snaps can never pick them
+    # even without the explicit valid_vertices mask.
     far = points.max(axis=0) + 1e6 * max(
-        1.0, float(np.ptp(points, axis=0).max()))
-    pts_pad = np.concatenate(
-        [points, np.broadcast_to(far, (n_pad - n, 3)).copy()])
-    normals = np.asarray(mesh.normals)
-    nrm_pad = np.concatenate(
-        [normals,
-         np.broadcast_to(np.array([0.0, 0.0, 1.0], normals.dtype),
-                         (n_pad - n, 3)).copy()])
-    if m_pad > m:
-        anchors = n + (np.arange(m_pad - m) % (n_pad - n))
-        tri_fill = np.stack([anchors] * 3, axis=1).astype(np.int32)
-        tris_pad = np.concatenate([tris, tri_fill])
-    else:
-        tris_pad = tris
-    padded = build_mesh(pts_pad, tris_pad, normals=nrm_pad)
+        1.0, float(np.ptp(points, axis=0).max())) if n else np.zeros(3, fdt)
+
+    def rows(a, k, fill=0):
+        a = np.asarray(a)
+        if k == 0:
+            return a
+        out = np.full((a.shape[0] + k,) + a.shape[1:], fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    pts_pad = rows(points, qv)
+    pts_pad[n:] = far
+    basis_pad = rows(np.asarray(mesh.basis), qv)
+    basis_pad[n:] = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], fdt)
+    nrm_pad = rows(np.asarray(mesh.normals), qv)
+    nrm_pad[n:] = np.asarray([0.0, 0.0, 1.0], fdt)
+    tris_pad = rows(np.asarray(mesh.triangles), qm, fill=n if qv else 0)
+
     return dataclasses.replace(
-        padded, n_valid_vertices=n, n_valid_triangles=m)
+        mesh,
+        points=jnp.asarray(pts_pad),
+        triangles=jnp.asarray(tris_pad),
+        normals=jnp.asarray(nrm_pad),
+        basis=jnp.asarray(basis_pad),
+        areas=jnp.asarray(rows(mesh.areas, qm)),
+        grad_w=jnp.asarray(rows(mesh.grad_w, qm)),
+        integrals=jnp.asarray(rows(mesh.integrals, qm)),
+        vertex_neighbors=jnp.asarray(_pad_cols(
+            rows(mesh.vertex_neighbors, qv, PAD_INDEX),
+            table_multiple, PAD_INDEX)),
+        vertex_cells=jnp.asarray(_pad_cols(
+            rows(mesh.vertex_cells, qv, PAD_INDEX),
+            table_multiple, PAD_INDEX)),
+        vertex_cell_slot=jnp.asarray(_pad_cols(
+            rows(mesh.vertex_cell_slot, qv, PAD_INDEX),
+            table_multiple, PAD_INDEX)),
+        vertex_degree=jnp.asarray(rows(mesh.vertex_degree, qv)),
+        vertex_cell_count=jnp.asarray(rows(mesh.vertex_cell_count, qv)),
+        boundary_vertex=jnp.asarray(rows(mesh.boundary_vertex, qv)),
+        edges=jnp.asarray(_pad_rows(
+            np.asarray(mesh.edges), edge_multiple, PAD_INDEX)),
+        edge_cells=jnp.asarray(_pad_rows(
+            np.asarray(mesh.edge_cells), edge_multiple, PAD_INDEX)),
+        n_vertices=n_pad, n_triangles=m_pad,
+        n_valid_vertices=n, n_valid_triangles=m)
+
+
+# ------------------------- padded-field helpers (host-side, numpy) ---------
+def unpad_vertex_field(mesh: TriMesh, arr) -> np.ndarray:
+    """Strip padding columns from a per-vertex field (..., N) -> (..., nv)."""
+    return np.asarray(arr)[..., : int(mesh.valid_vertices)]
+
+
+def pad_vertex_field(mesh: TriMesh, arr, fill=0.0) -> np.ndarray:
+    """Zero-extend a per-vertex field (..., nv) -> (..., N)."""
+    arr = np.asarray(arr)
+    n = mesh.n_vertices
+    if arr.shape[-1] == n:
+        return arr
+    out = np.full(arr.shape[:-1] + (n,), fill, dtype=arr.dtype)
+    out[..., : arr.shape[-1]] = arr
+    return out
+
+
+def unpad_dof_field(mesh: TriMesh, arr) -> np.ndarray:
+    """Strip padding from DOF vectors (..., 2N) -> (..., 2nv).
+
+    The DOF layout is dof = vertex + N * alpha (two stacked component
+    halves), so unpadding keeps the first nv entries of each half."""
+    arr = np.asarray(arr)
+    n = mesh.n_vertices
+    nv = int(mesh.valid_vertices)
+    if nv == n:
+        return arr
+    return np.concatenate([arr[..., :nv], arr[..., n: n + nv]], axis=-1)
+
+
+def pad_dof_field(mesh: TriMesh, arr) -> np.ndarray:
+    """Zero-extend DOF vectors (..., 2nv) -> (..., 2N)."""
+    arr = np.asarray(arr)
+    n = mesh.n_vertices
+    nv = arr.shape[-1] // 2
+    if nv == n:
+        return arr
+    out = np.zeros(arr.shape[:-1] + (2 * n,), dtype=arr.dtype)
+    out[..., :nv] = arr[..., :nv]
+    out[..., n: n + nv] = arr[..., nv:]
+    return out

@@ -72,9 +72,10 @@ def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
     v_max = jnp.max(speeds, axis=-1)                       # (T,)
     vn = v_world / v_max[:, None, None]
     vertex_mask = (speeds / v_max[:, None]) <= eps         # (T, N)
-    if mesh.is_padded:
-        vertex_mask &= (jnp.arange(mesh.n_vertices)
-                        < mesh.valid_vertices)[None, :]
+    # Unconditional padding mask (all-true on unpadded meshes): the valid
+    # count is a data leaf so it may be traced — no host branch on it.
+    vertex_mask &= (jnp.arange(mesh.n_vertices)
+                    < mesh.valid_vertices)[None, :]
 
     tri = mesh.triangles                                   # (M, 3)
     p = mesh.points[tri]                                   # (M, 3, 3)
@@ -102,9 +103,8 @@ def detect(mesh: TriMesh, v_world: jnp.ndarray, eps: float = 1e-4
 
     touches_singular = jnp.any(vertex_mask[:, tri], axis=-1)  # (T, M)
     interior_mask = solvable & inside & ~touches_singular
-    if mesh.is_padded:
-        interior_mask &= (jnp.arange(mesh.n_triangles)
-                          < mesh.valid_triangles)[None, :]
+    interior_mask &= (jnp.arange(mesh.n_triangles)
+                      < mesh.valid_triangles)[None, :]
 
     bary = jnp.stack([lam, mu], axis=-1)                   # (T, M, 2)
     w = jnp.stack([lam, mu, 1.0 - lam - mu], axis=-1)      # (T, M, 3)

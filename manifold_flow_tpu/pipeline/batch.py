@@ -211,7 +211,11 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     if mesh_cache is not None and trial.surface_path in mesh_cache:
         mesh = mesh_cache[trial.surface_path]
     else:
-        mesh = S.load_surface(trial.surface_path, cache_dir=cache_dir)
+        # pad_meshes (default on) buckets every subject's surface to shared
+        # shapes so one compiled program serves the whole cohort; artifacts
+        # are written unpadded by the stages.
+        mesh = S.load_surface(trial.surface_path, cache_dir=cache_dir,
+                              pad=getattr(config, "pad_meshes", False))
         if mesh_cache is not None:
             mesh_cache[trial.surface_path] = mesh
     d = trial.trial_dir
@@ -241,10 +245,13 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     def get_movie():
         nonlocal movie
         if movie is None:
+            from manifold_flow_tpu.geometry.mesh import pad_vertex_field
+
             movie = io.load_indexed_csv(trial.movie_path)
             if (config.solver.time_steps
                     and movie.shape[0] > config.solver.time_steps):
                 movie = movie[: config.solver.time_steps]
+            movie = pad_vertex_field(mesh, movie)
         return movie
 
     def get_times(n):
@@ -261,9 +268,10 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
         if v_world_cache is not None:
             return v_world_cache
         if stage_done(trial, "flow", config) and "flow" not in todo:
+            from manifold_flow_tpu.geometry.mesh import pad_dof_field
             from manifold_flow_tpu.ops.recombine import velocity_to_world
 
-            v_k = io.load_indexed_csv(d / names["v_k"])
+            v_k = pad_dof_field(mesh, io.load_indexed_csv(d / names["v_k"]))
             v_world_cache = np.asarray(velocity_to_world(v_k, mesh.basis))
             return v_world_cache
         raise RuntimeError(
@@ -284,7 +292,9 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                                 save_path=d / names["singularity"])
         elif s == "decompose":
             if vel is not None:
-                v_k = vel.v_k
+                from manifold_flow_tpu.geometry.mesh import unpad_dof_field
+
+                v_k = unpad_dof_field(mesh, vel.v_k)
             else:
                 v_k = io.load_indexed_csv(d / names["v_k"]) if (
                     d / names["v_k"]).exists() else None

@@ -109,6 +109,12 @@ class PipelineConfig:
     # With True, S2-phases / S3-classification / S6 artifacts match the
     # reference's outputs exactly.
     reference_quirks: bool = False
+    # Shape-bucket surfaces (geometry.pad_mesh) in the batch driver so a
+    # cohort of subjects with different vertex counts reuses ONE set of
+    # compiled programs (jit keys on array shapes; on a remote compile
+    # service, per-subject recompiles dominate a sweep). Artifacts stay
+    # unpadded.
+    pad_meshes: bool = True
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     preprocess: PreprocessConfig = dataclasses.field(
         default_factory=PreprocessConfig)
@@ -155,6 +161,8 @@ class PipelineConfig:
             cfg.solver.n_frame_shards = None
         if "reference_quirks" in gen:
             cfg.reference_quirks = bool(gen["reference_quirks"])
+        if "pad_meshes" in gen:
+            cfg.pad_meshes = bool(gen["pad_meshes"])
         for section, obj in [("preprocess", cfg.preprocess),
                              ("interpolation", cfg.interpolation),
                              ("reconstruction", cfg.reconstruction),
@@ -192,7 +200,8 @@ class PipelineConfig:
 
         doc = {
             "general": {**clean(self.solver),
-                        "reference_quirks": self.reference_quirks},
+                        "reference_quirks": self.reference_quirks,
+                        "pad_meshes": self.pad_meshes},
             "preprocess": clean(self.preprocess),
             "interpolation": clean(self.interpolation),
             "reconstruction": clean(self.reconstruction),

@@ -25,7 +25,14 @@ from typing import NamedTuple
 import numpy as np
 
 from manifold_flow_tpu.geometry import reconstruct
-from manifold_flow_tpu.geometry.mesh import TriMesh, build_mesh
+from manifold_flow_tpu.geometry.mesh import (
+    TriMesh,
+    build_mesh,
+    pad_mesh,
+    pad_vertex_field,
+    unpad_dof_field,
+    unpad_vertex_field,
+)
 from manifold_flow_tpu.ops import (
     interpolate as rbf_ops,
     phase as phase_ops,
@@ -84,18 +91,25 @@ def reconstruct_stage(electrode_coords, config: PipelineConfig,
     return ReconstructionResult(build_mesh(pts, tris), pts, tris)
 
 
-def load_surface(path, cache_dir=None) -> TriMesh:
+def load_surface(path, cache_dir=None, pad: bool = False) -> TriMesh:
     """Load a (reference-produced or own) PLY surface into a TriMesh.
 
     `cache_dir` enables the geometry-precompute cache keyed by mesh content
     (utils.cache) — the realized version of the reference's commented-out
-    processed_surface_path (config.yaml:18,27)."""
+    processed_surface_path (config.yaml:18,27).
+
+    `pad` rounds the mesh into a shape bucket (geometry.pad_mesh) so
+    different surfaces reuse one set of compiled programs — the cohort-sweep
+    default in pipeline.batch. Stages mask padding out of device compute and
+    strip it from artifacts (outputs stay unpadded)."""
     pts, tris = io.read_ply(path)
     if cache_dir is not None:
         from manifold_flow_tpu.utils.cache import build_mesh_cached
 
-        return build_mesh_cached(pts, tris, cache_dir=cache_dir)
-    return build_mesh(pts, tris)
+        mesh = build_mesh_cached(pts, tris, cache_dir=cache_dir)
+    else:
+        mesh = build_mesh(pts, tris)
+    return pad_mesh(mesh) if pad else mesh
 
 
 # ------------------------------------------------------------------- S2 ----
@@ -144,7 +158,7 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
             kind=config.interpolation.kind))
     if save_path is not None:
         io.ensure_dir(save_path)
-        io.save_indexed_csv(save_path, out)
+        io.save_indexed_csv(save_path, unpad_vertex_field(mesh, out))
     return out
 
 
@@ -238,15 +252,20 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                 "max_iter or loosen tol", ConvergenceWarning, stacklevel=2)
     v_world = velocity_to_world(res.v_k, mesh.basis)
     speed = world_speed(v_world)
+    # Artifacts stay unpadded (reference shapes) even when the in-memory
+    # mesh is shape-bucketed; downstream in-memory stages keep the padded
+    # arrays so their shapes match the mesh.
     if e_path is not None:
         io.ensure_dir(e_path)
-        io.save_e_csv(e_path, np.asarray(mesh.basis))
+        io.save_e_csv(
+            e_path,
+            np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
     if v_k_path is not None:
         io.ensure_dir(v_k_path)
-        io.save_indexed_csv(v_k_path, np.asarray(res.v_k))
+        io.save_indexed_csv(v_k_path, unpad_dof_field(mesh, res.v_k))
     if speed_path is not None:
         io.ensure_dir(speed_path)
-        io.save_pickle(speed_path, np.asarray(speed))
+        io.save_pickle(speed_path, unpad_vertex_field(mesh, speed))
     return VelocityStage(
         v_k=np.asarray(res.v_k), e=np.asarray(mesh.basis),
         v_world=np.asarray(v_world), speed=np.asarray(speed),
@@ -338,17 +357,20 @@ def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
 # ------------------------------------------------------------------- S5 ----
 def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
                     save_path=None) -> np.ndarray:
-    """S5: wave speeds from an amplitude or phase movie (T, N)."""
+    """S5: wave speeds from an amplitude or phase movie (T, N).
+
+    On a padded mesh, an unpadded movie is zero-extended for the device
+    compute and the result (incl. the artifact) is returned unpadded."""
     import jax.numpy as jnp
 
-    m = jnp.asarray(movie)
+    m = jnp.asarray(pad_vertex_field(mesh, movie))
     if method == "phase":
         ws = wave_ops.wave_velocity_phase_mm_per_ms(mesh, m, dt)
     elif method == "amplitude":
         ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
     else:
         raise ValueError(f"unknown wavespeed method {method!r}")
-    ws = np.asarray(ws)
+    ws = unpad_vertex_field(mesh, ws)
     if save_path is not None:
         io.ensure_dir(save_path)
         io.save_pickle(save_path, ws)

@@ -199,6 +199,82 @@ def test_reference_artifact_layout_parity(tmp_path, quirks):
     assert np.all(np.isfinite(wsa))
 
 
+def test_pad_meshes_shares_compiled_programs(tmp_path):
+    """VERDICT r2 #2 'done' gate: two subjects with different vertex counts
+    in the same shape bucket share one padded shape, so the second trial
+    hits the jit caches (no retrace of solve or analysis programs), and
+    artifacts equal the unpadded run's. The valid counts ride along as data
+    leaves (not static fields), so they cannot key the cache."""
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.ops import streamline as stream_ops
+    from manifold_flow_tpu.ops import winding as wind_ops
+    from manifold_flow_tpu.solve import cg as cg_mod
+
+    def make_tree(root, specs):
+        for subject, nx in specs:
+            mesh = synthetic.plane_patch(
+                nx=nx, ny=nx, lx=8.0, ly=8.0,
+                height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+            subj = root / subject
+            subj.mkdir(parents=True)
+            io.write_ply(subj / f"{subject}_reconstructed_surface.ply",
+                         np.asarray(mesh.points), np.asarray(mesh.triangles))
+            _write_trial(subj / "run-001" / "T1", mesh)
+            (subj / f"{subject}_ieeg.json").write_text(
+                json.dumps({"SamplingFrequency": 512}))
+
+    # 169 vs 196 vertices / 288 vs 338 triangles: different sizes, same
+    # shape bucket (256 vertices, 512 triangles).
+    specs = [("sub-a", 13), ("sub-b", 14)]
+    root_pad = tmp_path / "padded"
+    root_raw = tmp_path / "unpadded"
+    make_tree(root_pad, specs)
+    make_tree(root_raw, specs)
+
+    cfg = PipelineConfig()
+    assert cfg.pad_meshes
+    trials = batch.discover_trials(root_pad)
+    assert len(trials) == 2
+
+    jits = [cg_mod.solve_cg, sing_ops.detect, sing_ops.classify_detected,
+            stream_ops.trace_frames, wind_ops.analyze_singularities]
+    jits = [f for f in jits if hasattr(f, "_cache_size")]
+    batch.run_trial(trials[0], cfg, stages=batch.DEVICE_STAGES)
+    sizes = [f._cache_size() for f in jits]
+    batch.run_trial(trials[1], cfg, stages=batch.DEVICE_STAGES)
+    sizes2 = [f._cache_size() for f in jits]
+    assert sizes2 == sizes, (
+        "second subject retraced despite shape bucketing: "
+        f"{[(getattr(f, '__name__', f), a, b) for f, a, b in zip(jits, sizes, sizes2)]}")
+
+    # Padded artifacts equal the unpadded run's, in unpadded shapes.
+    cfg_raw = PipelineConfig()
+    cfg_raw.pad_meshes = False
+    for t in batch.discover_trials(root_raw):
+        batch.run_trial(t, cfg_raw, stages=batch.DEVICE_STAGES)
+    for subject, nx in specs:
+        tp = root_pad / subject / "run-001" / "T1"
+        tr = root_raw / subject / "run-001" / "T1"
+        n = nx * nx
+        vk_p = io.load_indexed_csv(tp / "sub_task-V_k.csv")
+        vk_r = io.load_indexed_csv(tr / "sub_task-V_k.csv")
+        assert vk_p.shape == (4, 2 * n)
+        np.testing.assert_allclose(vk_p, vk_r, rtol=1e-7, atol=1e-9)
+        sp = io.load_pickle(tp / "sub_task-singularity_points.pkl")
+        sr = io.load_pickle(tr / "sub_task-singularity_points.pkl")
+        assert len(sp) == len(sr)
+        for a, b in zip(sp, sr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+        wp = io.load_pickle(tp / "sub_task-wave_velocity_opticalflow.pkl.bz2")
+        wr = io.load_pickle(tr / "sub_task-wave_velocity_opticalflow.pkl.bz2")
+        assert wp.shape == (4, n)
+        np.testing.assert_allclose(wp, wr, rtol=1e-7, atol=1e-9)
+        ep = io.load_e_csv(root_pad / subject / f"{subject}_e.csv")
+        er = io.load_e_csv(root_raw / subject / f"{subject}_e.csv")
+        np.testing.assert_allclose(ep, er, rtol=1e-12)
+
+
 def test_unit_dt_fallback_warns(tmp_path, caplog):
     """Missing SamplingFrequency must warn (naming the trial) before times
     silently degrade to frame indices (VERDICT r2 weak #7)."""
