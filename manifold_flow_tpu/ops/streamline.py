@@ -48,10 +48,13 @@ class Streamlines(NamedTuple):
 
 # First-repeat detection strategy crossover (see trace): all-pairs compare
 # up to this window, composite-key sort beyond. Measured on chip at
-# reference scale (97 frames x 3.1k vertices): pairwise w=64 269 ms ~= the
-# sort, w=96 471 ms — the quadratic compare volume overtakes the sort's
-# ~log^2 W passes between those, so only the adaptive tracer's initial
-# window (64) takes the pairwise path and escalations keep the sort.
+# reference scale (97 frames x 3.1k vertices), WHOLE-TRACE times (tables +
+# doubling + detection): pairwise w=64 269 ms ~= sort 272 ms, pairwise w=96
+# 471 ms — detection alone is ~3 ms noise for both at w<=64, but the
+# pairwise (rows, W, W) compare volume grows quadratically and overtakes
+# the sort's ~log^2 W passes between 64 and 96, so only the adaptive
+# tracer's initial window (64) takes the pairwise path and escalations
+# keep the sort.
 PAIRWISE_MAX_WINDOW = 72
 
 
@@ -192,6 +195,14 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
     """
     t = v_world.shape[0]
     n = mesh.n_vertices
+    if t * n >= jnp.iinfo(jnp.int32).max:
+        # The fused flat id space (frame k's vertex v = k*N + v) is int32:
+        # overflow must fail loudly, not wrap into garbage walks. Split the
+        # movie into frame chunks at this scale (>2^31 walk SEEDS in one
+        # program is far beyond any single-device memory anyway).
+        raise ValueError(
+            f"streamline tracer: T*N = {t}*{n} overflows the int32 global id "
+            "space; trace the movie in frame chunks")
     next_tab, ok_tab = jax.vmap(
         lambda v: _next_hop_tables(mesh, v, quirks=quirks))(v_world)
     idx = jnp.arange(n, dtype=jnp.int32)
