@@ -84,31 +84,31 @@ def _signed_angle(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cross < 0, -ang, ang)
 
 
-@partial(jax.jit, static_argnames=("max_level",))
-def winding_profile(mesh: TriMesh, v_world_frame: jnp.ndarray,
-                    center: jnp.ndarray, max_level: int = 25) -> jnp.ndarray:
-    """Winding numbers (max_level,) for rings 1..max_level around `center`.
+class _RingTables(NamedTuple):
+    """Frame-INDEPENDENT per-center tables: the ring structure and the polar
+    sort order depend only on (mesh, center), so they are computed once per
+    distinct center and reused by every frame that queries it
+    (analyze_singularities_movie)."""
 
-    `v_world_frame` is one frame's (N, 3) field; `center` a vertex index.
+    order: jnp.ndarray   # (N,) permutation: rings 1..L anticlockwise, rest last
+    same: jnp.ndarray    # (N-1,) sorted pair (i, i+1) lies within one ring
+    bounds: jnp.ndarray  # (L+1,) ring r occupies sorted slice [b[r-1], b[r])
+    e1: jnp.ndarray      # (3,) center tangent basis
+    e2: jnp.ndarray      # (3,)
 
-    ONE argsort serves every ring: vertices sort by the composite key
+
+def _ring_tables(mesh: TriMesh, center: jnp.ndarray, max_level: int,
+                 dtype) -> _RingTables:
+    """ONE argsort serves every ring: vertices sort by the composite key
     (ring level, polar angle), which groups each ring contiguously in
-    anticlockwise order; per-ring sums of consecutive signed velocity-angle
-    differences (plus the circular closure term between each ring's last and
-    first member) then come from dense masked reductions. The naive
-    formulation (a full masked sort per ring — 25 sorts per singularity)
-    made winding analysis the slowest stage of the pipeline.
-    """
-    n = mesh.points.shape[0]
-    dtype = v_world_frame.dtype
+    anticlockwise order (the naive formulation — a full masked sort per
+    ring, 25 sorts per singularity — made winding the slowest stage). Ring
+    boundaries in the sorted order come from one vectorized searchsorted."""
     levels = topology.bfs_levels(mesh.vertex_neighbors, center, max_level)
     e1 = mesh.basis[center, 0].astype(dtype)
     e2 = mesh.basis[center, 1].astype(dtype)
     uv = position_diff_on_basis(mesh.points[center].astype(dtype),
                                 mesh.points.astype(dtype), e1, e2)
-    vproj = project_to_plane(v_world_frame, e1, e2)
-    vxy = express_on_basis(vproj, e1, e2)
-
     theta = jnp.arctan2(uv[:, 1], uv[:, 0])                   # (-pi, pi]
     in_ring = (levels >= 1) & (levels <= max_level)
     frac = (theta + jnp.pi) / (2.0 * jnp.pi + 1e-6)           # [0, 1)
@@ -116,31 +116,58 @@ def winding_profile(mesh: TriMesh, v_world_frame: jnp.ndarray,
                     jnp.asarray(jnp.inf, dtype))
     order = jnp.argsort(key)
     lvl_s = jnp.where(in_ring, levels, -1)[order]             # (N,)
-    vs = vxy[order]
+    same = (lvl_s[:-1] == lvl_s[1:]) & (lvl_s[:-1] >= 1)
+    # Sorted levels with the non-ring tail mapped past max_level: ascending,
+    # so every ring's [start, end) slice is a pair of searchsorted bounds.
+    ls2 = jnp.where(lvl_s < 0, max_level + 1, lvl_s)
+    bounds = jnp.searchsorted(ls2, jnp.arange(1, max_level + 2))
+    return _RingTables(order=order, same=same, bounds=bounds, e1=e1, e2=e2)
+
+
+def _profile_from_tables(v_world_frame: jnp.ndarray,
+                         tabs: _RingTables) -> jnp.ndarray:
+    """Winding numbers (L,) of one frame over precomputed ring tables.
+
+    Rings are contiguous in the sorted order, so the per-ring sum of
+    consecutive signed velocity-angle differences is a difference of two
+    prefix-sum samples (one (N,) cumsum replaces the previous (L, N)
+    one-hot contraction and (L, N) masked min/max reductions — the 'sums'
+    half of the winding profile's measured cost), and the circular closure
+    term pairs each ring's last sorted member with its first.
+    """
+    n = v_world_frame.shape[0]
+    vproj = project_to_plane(v_world_frame, tabs.e1, tabs.e2)
+    vxy = express_on_basis(vproj, tabs.e1, tabs.e2)
+    vs = vxy[tabs.order]
     nrm = jnp.linalg.norm(vs, axis=-1, keepdims=True)
     us = vs / jnp.where(nrm > 0, nrm, 1.0)
 
-    # Consecutive pairs within the same ring.
     pair_ang = _signed_angle(us[:-1], us[1:])                 # (N-1,)
-    same = (lvl_s[:-1] == lvl_s[1:]) & (lvl_s[:-1] >= 1)
-    pair_ang = jnp.where(same, pair_ang, 0.0)
-    ring_ids = jnp.arange(1, max_level + 1)
-    onehot_pair = (lvl_s[:-1][None, :] == ring_ids[:, None]).astype(dtype)
-    sums = onehot_pair @ pair_ang                             # (L,)
+    pair_ang = jnp.where(tabs.same, pair_ang, 0.0)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), pair_ang.dtype), jnp.cumsum(pair_ang)])  # (N,)
 
-    # Circular closure: last member -> first member of each ring.
-    pos = jnp.arange(n)
-    member = lvl_s[None, :] == ring_ids[:, None]              # (L, N)
-    big = jnp.asarray(n + 1, jnp.int32)
-    first = jnp.min(jnp.where(member, pos, big), axis=1)      # (L,)
-    last = jnp.max(jnp.where(member, pos, -1), axis=1)        # (L,)
-    count = member.sum(axis=1)
-    has = count >= 1
-    f = jnp.where(has, first, 0)
-    l = jnp.where(has, last, 0)
-    closure = _signed_angle(us[l], us[f])
-    closure = jnp.where(has & (count >= 2), closure, 0.0)
+    first = tabs.bounds[:-1]                                  # (L,)
+    end = tabs.bounds[1:]
+    count = end - first
+    sums = jnp.where(count >= 1,
+                     prefix[jnp.maximum(end - 1, 0)] - prefix[first], 0.0)
+    f = jnp.clip(first, 0, n - 1)
+    l = jnp.clip(end - 1, 0, n - 1)
+    closure = jnp.where(count >= 2, _signed_angle(us[l], us[f]), 0.0)
     return (sums + closure) / (2.0 * jnp.pi)
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def winding_profile(mesh: TriMesh, v_world_frame: jnp.ndarray,
+                    center: jnp.ndarray, max_level: int = 25) -> jnp.ndarray:
+    """Winding numbers (max_level,) for rings 1..max_level around `center`.
+
+    `v_world_frame` is one frame's (N, 3) field; `center` a vertex index.
+    Ring tables (_ring_tables) + prefix-sum profile (_profile_from_tables).
+    """
+    tabs = _ring_tables(mesh, center, max_level, v_world_frame.dtype)
+    return _profile_from_tables(v_world_frame, tabs)
 
 
 def _count_and_type(w: jnp.ndarray):
@@ -220,7 +247,8 @@ def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
                                       n_valid=mesh.valid_vertices)
 
     def one(center):
-        w = winding_profile(mesh, v_world_frame, center, max_level)
+        tabs = _ring_tables(mesh, center, max_level, v_world_frame.dtype)
+        w = _profile_from_tables(v_world_frame, tabs)
         count, typ = _count_and_type(w)
         return count, typ, w
 
@@ -231,3 +259,149 @@ def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
         types=jnp.where(valid, types, zero),
         winding_numbers=jnp.where(valid[:, None], ws, 0.0),
     )
+
+
+def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
+                                max_level: int = 25) -> WindingResult:
+    """Winding analysis of the whole movie in one device program.
+
+    points: (T, S, 3) fixed-capacity singularity coordinates per frame;
+    valid: (T, S); returns a WindingResult with (T, S) leading dims.
+
+    Singularities persist across frames (the same source/saddle drifts
+    slowly), so the T*S queries snap to only a handful of DISTINCT center
+    vertices — and the expensive per-center work (25-level BFS + the
+    composite-key argsort) is frame-independent (_ring_tables). The host
+    deduplicates the snapped centers, the device builds one table set per
+    unique center (padded to a bucket of 8 so cohort sweeps reuse the
+    compiled program), and every (frame, singularity) slot just gathers its
+    center's tables and runs the cheap prefix-sum profile. The naive
+    formulation rebuilt rings and re-sorted for all T*S slots
+    (pipeline.stages r2: BFS 25 ms + sort dominated the 75 ms stage).
+    """
+    import numpy as np
+
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    q = np.asarray(points, dtype=np.float64)
+    t, s = q.shape[0], q.shape[1]
+    vmask = np.asarray(valid, dtype=bool)
+    if t * s == 0 or not vmask.any():
+        shape = (t, s)
+        return WindingResult(
+            counts=jnp.zeros(shape, jnp.int32),
+            types=jnp.zeros(shape, jnp.int32),
+            winding_numbers=jnp.zeros(shape + (max_level,), jnp.float32))
+    # Host-side snap via the GEMM distance expansion: argmin_p |q - p|^2 =
+    # argmin_p (|p|^2 - 2 q.p), the |q|^2 row constant dropped. Float32
+    # throughout — this host class is 2-core with ~20x slower f64, and the
+    # naive (T*S, N, 3) broadcast costs hundreds of ms at reference scale
+    # vs ~10 ms here. f32 scoring resolves the argmin safely: competing
+    # vertices differ by O(edge length^2) while the f32 error is
+    # ~eps * |coords|^2, orders of magnitude smaller.
+    pts32 = pts.astype(np.float32)
+    q32 = q.reshape(-1, 3).astype(np.float32)
+    pn = (pts32 * pts32).sum(-1)
+    pn[int(mesh.valid_vertices):] = np.inf
+    score = pn[None, :] - 2.0 * (q32 @ pts32.T)
+    centers = score.argmin(axis=1).astype(np.int32).reshape(t, s)
+
+    uniq = np.unique(centers[vmask])
+    u_cap = max(-(-len(uniq) // 8) * 8, 8)
+    uniq_p = np.concatenate(
+        [uniq, np.full(u_cap - len(uniq), uniq[0], np.int32)]).astype(np.int32)
+    u_idx = np.searchsorted(uniq, centers.reshape(-1)).clip(0, len(uniq) - 1)
+    u_idx = u_idx.astype(np.int32).reshape(t, s)  # invalid slots are masked
+    # Two device formulations (identical results):
+    #  * grid — profile every (unique center, frame) pair. The sorted-order
+    #    gather becomes index-shared across frames (streaming-class on TPU,
+    #    measured ~20x faster per element than per-slot chase gathers),
+    #    at the cost of computing U*T profiles instead of the <= T*S valid
+    #    slots.
+    #  * slot — profile only the (frame, slot) pairs; every slot pays a
+    #    private N-element gather at pointer-chase throughput.
+    # Grid wins while U*T's streaming passes undercut T*S chase gathers
+    # (~14 four-byte passes/profile vs ~20x per-element chase premium).
+    # Per frame, grid profiles U rows at ~14 streaming element-passes each;
+    # slot profiles S rows, each paying one private N-element chase gather
+    # (~300 streaming-elem equivalents at the measured 0.11 Ge/s vs
+    # 131 GB/s) plus ~13 streaming passes. Grid wins while
+    # U * 14 < S * (300 + 13), i.e. U up to ~20x S.
+    if u_cap <= _GRID_CHASE_RATIO * s:
+        fn = _analyze_movie_grid
+    else:
+        fn = _analyze_movie_slots
+    return fn(mesh, jnp.asarray(v_world), jnp.asarray(uniq_p),
+              jnp.asarray(u_idx), jnp.asarray(vmask), max_level=max_level)
+
+
+# Measured on chip (97 frames x 3.1k vertices, 16 slots, 43 unique centers):
+# chase-class gathers run ~9 ns/element while streaming passes run
+# ~0.43 ns/element/pass (~20x) — the grid formulation wins until the unique-
+# center count approaches ~20x the slot capacity.
+_GRID_CHASE_RATIO = 20
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def _analyze_movie_slots(mesh, v_world, centers_u, u_idx, valid, max_level):
+    dtype = v_world.dtype
+    tabs = jax.vmap(
+        lambda c: _ring_tables(mesh, c, max_level, dtype))(centers_u)
+
+    def frame(vf, u_row, ok_row):
+        def one(u, ok):
+            t1 = _RingTables(*(a[u] for a in tabs))
+            w = _profile_from_tables(vf, t1)
+            count, typ = _count_and_type(w)
+            zero = jnp.int32(0)
+            return (jnp.where(ok, count, zero), jnp.where(ok, typ, zero),
+                    jnp.where(ok, w, 0.0))
+
+        return jax.vmap(one)(u_row, ok_row)
+
+    counts, types, ws = jax.vmap(frame)(v_world, u_idx, valid)
+    return WindingResult(counts=counts, types=types, winding_numbers=ws)
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def _analyze_movie_grid(mesh, v_world, centers_u, u_idx, valid, max_level):
+    dtype = v_world.dtype
+    t = v_world.shape[0]
+    n = v_world.shape[1]
+    tabs = jax.vmap(
+        lambda c: _ring_tables(mesh, c, max_level, dtype))(centers_u)
+
+    def per_center(tab):
+        vproj = project_to_plane(v_world, tab.e1, tab.e2)      # (T, N, 3)
+        vxy = express_on_basis(vproj, tab.e1, tab.e2)          # (T, N, 2)
+        vs = vxy[:, tab.order]           # one index vector for all T frames
+        nrm = jnp.linalg.norm(vs, axis=-1, keepdims=True)
+        us = vs / jnp.where(nrm > 0, nrm, 1.0)
+        pair_ang = _signed_angle(us[:, :-1], us[:, 1:])        # (T, N-1)
+        pair_ang = jnp.where(tab.same[None], pair_ang, 0.0)
+        prefix = jnp.concatenate(
+            [jnp.zeros((t, 1), pair_ang.dtype),
+             jnp.cumsum(pair_ang, axis=1)], axis=1)            # (T, N)
+        first = tab.bounds[:-1]
+        end = tab.bounds[1:]
+        count = end - first
+        sums = jnp.where(count[None] >= 1,
+                         prefix[:, jnp.maximum(end - 1, 0)]
+                         - prefix[:, first], 0.0)              # (T, L)
+        f = jnp.clip(first, 0, n - 1)
+        l = jnp.clip(end - 1, 0, n - 1)
+        closure = jnp.where(count[None] >= 2,
+                            _signed_angle(us[:, l], us[:, f]), 0.0)
+        w = (sums + closure) / (2.0 * jnp.pi)                  # (T, L)
+        cnt, typ = jax.vmap(_count_and_type)(w)
+        return cnt, typ, w
+
+    cu, tu, wu = jax.vmap(per_center)(tabs)     # (U, T), (U, T), (U, T, L)
+    ti = jnp.arange(t)[:, None]
+    counts = cu[u_idx, ti]                      # (T, S)
+    types = tu[u_idx, ti]
+    ws = wu[u_idx, ti]
+    zero = jnp.int32(0)
+    return WindingResult(
+        counts=jnp.where(valid, counts, zero),
+        types=jnp.where(valid, types, zero),
+        winding_numbers=jnp.where(valid[..., None], ws, 0.0))

@@ -436,11 +436,11 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
             if caps[t]:
                 pts_arr[t, : caps[t]] = np.asarray(singularity_points[t])
                 valid[t, : caps[t]] = True
-        res = jax.vmap(
-            lambda vf, p, m: wind_ops.analyze_singularities(
-                mesh, vf, p, m,
-                max_level=config.analysis.max_winding_level)
-        )(jnp.asarray(v[:n_frames]), jnp.asarray(pts_arr), jnp.asarray(valid))
+        # Unique-center dedup: ring tables (BFS + polar sort) are built once
+        # per distinct snapped center, not once per (frame, singularity).
+        res = wind_ops.analyze_singularities_movie(
+            mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
+            max_level=config.analysis.max_winding_level)
         counts = np.asarray(res.counts)
         types = np.asarray(res.types)
         winding_lines = {}

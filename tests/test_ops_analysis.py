@@ -84,6 +84,64 @@ def test_winding_radial_and_saddle_fields():
         assert int(r.counts[0]) == want_count, (want_count, np.asarray(r))
 
 
+def test_winding_movie_matches_per_frame(source_setup):
+    """analyze_singularities_movie (unique-center dedup, one program) must
+    equal per-frame analyze_singularities on every (frame, slot)."""
+    mesh, _, _, truth, _, v3 = source_setup
+    t, s = 3, 4
+    rng = np.random.default_rng(3)
+    pts = np.zeros((t, s, 3))
+    valid = np.zeros((t, s), dtype=bool)
+    for k in range(t):
+        n_k = [2, 0, 3][k]  # includes an all-invalid frame
+        pts[k, :n_k] = np.asarray(truth)[:1] + rng.normal(0, 0.4, (n_k, 3))
+        valid[k, :n_k] = True
+    movie = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:t]), pts, valid, max_level=6)
+    for k in range(t):
+        ref = winding.analyze_singularities(
+            mesh, jnp.asarray(v3[k]), jnp.asarray(pts[k]),
+            jnp.asarray(valid[k]), max_level=6)
+        np.testing.assert_array_equal(np.asarray(movie.counts[k]),
+                                      np.asarray(ref.counts))
+        np.testing.assert_array_equal(np.asarray(movie.types[k]),
+                                      np.asarray(ref.types))
+        np.testing.assert_allclose(np.asarray(movie.winding_numbers[k]),
+                                   np.asarray(ref.winding_numbers),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_winding_movie_grid_matches_slots(source_setup, monkeypatch):
+    """The two movie formulations (grid over unique centers x frames vs
+    per-slot) must agree; the dispatcher picks by unique-center count."""
+    mesh, _, _, truth, _, v3 = source_setup
+    pts = np.asarray(truth)[None].repeat(3, axis=0)
+    valid = np.ones(pts.shape[:2], dtype=bool)
+    grid = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:3]), pts, valid, max_level=6)
+    monkeypatch.setattr(winding, "_GRID_CHASE_RATIO", 0)
+    slots = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:3]), pts, valid, max_level=6)
+    np.testing.assert_array_equal(np.asarray(grid.counts),
+                                  np.asarray(slots.counts))
+    np.testing.assert_array_equal(np.asarray(grid.types),
+                                  np.asarray(slots.types))
+    np.testing.assert_allclose(np.asarray(grid.winding_numbers),
+                               np.asarray(slots.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_winding_movie_empty():
+    mesh = synthetic.plane_patch(nx=8, ny=8, lx=4.0, ly=4.0)
+    v = jnp.zeros((2, mesh.n_vertices, 3))
+    r = winding.analyze_singularities_movie(
+        mesh, v, np.zeros((2, 0, 3)), np.zeros((2, 0), bool), max_level=4)
+    assert r.counts.shape == (2, 0)
+    r2 = winding.analyze_singularities_movie(
+        mesh, v, np.zeros((2, 3, 3)), np.zeros((2, 3), bool), max_level=4)
+    assert np.all(np.asarray(r2.counts) == 0)
+
+
 def test_winding_profile_interference_is_local(source_setup):
     """At a two-source interference field only ring 1 is reliably +1 — the
     op must report type +1 with a small persistence count, not force +1."""
