@@ -266,14 +266,20 @@ def _pad_cols(a: np.ndarray, multiple: int, fill: int) -> np.ndarray:
     return out
 
 
+def _append_rows(a: np.ndarray, k: int, fill=0) -> np.ndarray:
+    """Append k fill rows. Returns `a` itself (possibly a read-only view of
+    a jax array) when k == 0 — callers must not mutate in that case."""
+    a = np.asarray(a)
+    if k == 0:
+        return a
+    out = np.full((a.shape[0] + k,) + a.shape[1:], fill, dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
 def _pad_rows(a: np.ndarray, multiple: int, fill: int) -> np.ndarray:
     r = a.shape[0]
-    r2 = -(-r // multiple) * multiple
-    if r2 == r:
-        return a
-    out = np.full((r2,) + a.shape[1:], fill, dtype=a.dtype)
-    out[:r] = a
-    return out
+    return _append_rows(a, -(-r // multiple) * multiple - r, fill)
 
 
 def pad_mesh(mesh: TriMesh, vertex_multiple: int = 128,
@@ -315,20 +321,14 @@ def pad_mesh(mesh: TriMesh, vertex_multiple: int = 128,
     far = points.max(axis=0) + 1e6 * max(
         1.0, float(np.ptp(points, axis=0).max())) if n else np.zeros(3, fdt)
 
-    def rows(a, k, fill=0):
-        a = np.asarray(a)
-        if k == 0:
-            return a
-        out = np.full((a.shape[0] + k,) + a.shape[1:], fill, dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return out
-
+    rows = _append_rows
     pts_pad = rows(points, qv)
-    pts_pad[n:] = far
     basis_pad = rows(np.asarray(mesh.basis), qv)
-    basis_pad[n:] = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], fdt)
     nrm_pad = rows(np.asarray(mesh.normals), qv)
-    nrm_pad[n:] = np.asarray([0.0, 0.0, 1.0], fdt)
+    if qv:  # k == 0 returns the original (read-only) array — don't write
+        pts_pad[n:] = far
+        basis_pad[n:] = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], fdt)
+        nrm_pad[n:] = np.asarray([0.0, 0.0, 1.0], fdt)
     tris_pad = rows(np.asarray(mesh.triangles), qm, fill=n if qv else 0)
 
     return dataclasses.replace(

@@ -28,8 +28,10 @@ def closest_vertex(points: jnp.ndarray, queries: jnp.ndarray,
     """Index of the Euclidean-nearest vertex for each query point (..., 3)."""
     d2 = jnp.sum((queries[..., None, :] - points) ** 2, axis=-1)
     if n_valid is not None:
-        # n_valid may be traced (TriMesh valid counts are data leaves);
-        # on unpadded meshes the mask is all-false and folds away.
+        # n_valid is a runtime operand (TriMesh valid counts are data
+        # leaves so padded/unpadded meshes share compiled programs), so the
+        # compare+select executes on every call even for unpadded meshes —
+        # one (..., N) pass, negligible next to the distance computation.
         pad = jnp.arange(points.shape[0]) >= n_valid
         d2 = jnp.where(pad, jnp.inf, d2)
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)

@@ -325,8 +325,11 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
     # slot profiles S rows, each paying one private N-element chase gather
     # (~300 streaming-elem equivalents at the measured 0.11 Ge/s vs
     # 131 GB/s) plus ~13 streaming passes. Grid wins while
-    # U * 14 < S * (300 + 13), i.e. U up to ~20x S.
-    if u_cap <= _GRID_CHASE_RATIO * s:
+    # U * 14 < S * (300 + 13), i.e. U up to ~20x S — but its vmapped
+    # (U, T, N, 2) intermediates must also fit in device memory (a few live
+    # at once), so huge unique-center counts fall back to slots.
+    if (u_cap <= _GRID_CHASE_RATIO * s
+            and u_cap * t * pts.shape[0] <= _GRID_MAX_ELEMS):
         fn = _analyze_movie_grid
     else:
         fn = _analyze_movie_slots
@@ -339,6 +342,10 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
 # ~0.43 ns/element/pass (~20x) — the grid formulation wins until the unique-
 # center count approaches ~20x the slot capacity.
 _GRID_CHASE_RATIO = 20
+# Grid memory ceiling: a (U, T, N) float32 cell grid with 2-3 component
+# channels and a few live intermediates costs ~10 * 4 bytes per element;
+# 2^26 elements keeps the peak well under a 16 GB device.
+_GRID_MAX_ELEMS = 1 << 26
 
 
 @partial(jax.jit, static_argnames=("max_level",))

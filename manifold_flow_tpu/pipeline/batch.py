@@ -160,11 +160,26 @@ def artifact_names(prefix: str) -> dict:
     }
 
 
+_FRAMES_CACHE: dict = {}
+
+
 def _movie_frames(trial: TrialRef, config=None) -> int:
     """Movie frame count (CSV data rows, capped by solver.time_steps) —
-    needed to enumerate the per-frame streamline artifacts."""
-    with open(trial.movie_path, "r", encoding="utf-8") as f:
-        rows = max(sum(1 for _ in f) - 1, 0)  # minus header
+    needed to enumerate the per-frame streamline artifacts. Cached by
+    (path, mtime, size): stage_done checks run per stage per sweep, and a
+    no-op resume over a cohort must not re-read every multi-MB movie CSV
+    just to count rows."""
+    import os
+
+    st = os.stat(trial.movie_path)
+    key = (str(trial.movie_path), st.st_mtime_ns, st.st_size)
+    rows = _FRAMES_CACHE.get(key)
+    if rows is None:
+        with open(trial.movie_path, "r", encoding="utf-8") as f:
+            rows = max(sum(1 for _ in f) - 1, 0)  # minus header
+        _FRAMES_CACHE[key] = rows
+        while len(_FRAMES_CACHE) > 4096:
+            _FRAMES_CACHE.pop(next(iter(_FRAMES_CACHE)))
     ts = getattr(getattr(config, "solver", None), "time_steps", None)
     return min(rows, ts) if ts else rows
 
@@ -179,8 +194,11 @@ def stage_artifacts(trial: TrialRef, stage: str, config=None):
                 d / names["speed"]]
     if stage == "streamline":
         t = _movie_frames(trial, config)
+        # t - 1 velocity frames -> t - 1 per-frame files; a <= 1-frame movie
+        # produces nothing, so the stage is trivially done (empty list)
+        # rather than forever waiting on a file no run can create.
         return [d / names["streamline_fmt"].format(frame=k)
-                for k in range(max(t - 1, 1))]
+                for k in range(max(t - 1, 0))]
     if stage in ("decompose", "wavespeed", "wavespeed_amplitude", "winding"):
         return [d / names[stage]]
     raise ValueError(f"unknown batch stage {stage!r}")

@@ -155,24 +155,42 @@ def build_tables(mesh: TriMesh, passes: int | None = None) -> CoarseTables:
         # np.asarray raises on traced topology — callers fall back to Jacobi.
         neighbors = np.asarray(mesh.vertex_neighbors)
         degrees = np.asarray(mesh.vertex_degree)
+        n = neighbors.shape[0]
+        # Aggregate the VALID subgraph only. Pad vertices (pad_mesh) have
+        # empty adjacency rows, so feeding them through would make each one
+        # a permanent singleton aggregate squatting on the MAX_COARSE_SIZE
+        # budget and over-coarsening the real vertices.
+        nv = int(mesh.valid_vertices)
+        neighbors_v, degrees_v = neighbors[:nv], degrees[:nv]
         if passes is None:
-            agg, seeds = aggregate_vertices(neighbors, degrees, passes=1)
+            agg, seeds = aggregate_vertices(neighbors_v, degrees_v, passes=1)
             n_passes = 1
             while (seeds.shape[0] > MAX_COARSE_SIZE
                    and n_passes < _MAX_PASSES):
                 agg, seeds = aggregate_vertices(
-                    neighbors, degrees, passes=n_passes + 1)
+                    neighbors_v, degrees_v, passes=n_passes + 1)
                 n_passes += 1
         else:
-            agg, seeds = aggregate_vertices(neighbors, degrees, passes=passes)
-        n = neighbors.shape[0]
+            agg, seeds = aggregate_vertices(neighbors_v, degrees_v,
+                                            passes=passes)
         nc = int(seeds.shape[0])
         order = np.argsort(agg, kind="stable")
         counts = np.bincount(agg, minlength=nc)
+        if nv < n:
+            # ONE dedicated aggregate absorbs every pad vertex. Its coarse
+            # row is pure ridge (pad triangles contribute zero), its
+            # restricted residual is identically zero (pad members are left
+            # out of the gather table), so its correction — the value
+            # prolongation writes back into pad DOFs — is exactly zero.
+            agg = np.concatenate(
+                [agg, np.full(n - nv, nc, dtype=agg.dtype)])
+            seeds = np.concatenate(
+                [seeds, np.asarray([nv], dtype=seeds.dtype)])
+            nc += 1
         k = max(int(counts.max()), 1)
         members = np.full((nc, k), n, dtype=np.int32)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        for a in range(nc):
+        for a in range(len(counts)):
             span = order[offsets[a]: offsets[a + 1]]
             members[a, : span.size] = span
         # Scatter-free assembly plan for the (M, 3, 2, 3, 2) local coarse

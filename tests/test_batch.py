@@ -275,6 +275,33 @@ def test_pad_meshes_shares_compiled_programs(tmp_path):
         np.testing.assert_allclose(ep, er, rtol=1e-12)
 
 
+def test_streamline_artifacts_single_frame_movie(tmp_path):
+    """A <= 1-frame movie yields zero velocity frames, hence zero per-frame
+    streamline files: the stage must count as trivially done (empty artifact
+    list), not wait forever on streamlines_0 and crash on resume."""
+    trial_dir = tmp_path / "sub-01" / "run-001" / "T1"
+    trial_dir.mkdir(parents=True)
+    io.save_indexed_csv(trial_dir / "one-interpolation_data.csv",
+                        np.zeros((1, 9)))
+    trial = batch.TrialRef(
+        subject="sub-01", run="run-001", trial="T1", trial_dir=trial_dir,
+        surface_path=trial_dir / "unused.ply",
+        movie_path=trial_dir / "one-interpolation_data.csv",
+        phases_path=None)
+    assert batch.stage_artifacts(trial, "streamline") == []
+    assert batch.stage_done(trial, "streamline")
+
+
+def test_movie_frames_cached_by_stat(results_tree):
+    root, _ = results_tree
+    trials = batch.discover_trials(root)
+    batch._FRAMES_CACHE.clear()
+    n1 = batch._movie_frames(trials[0])
+    assert len(batch._FRAMES_CACHE) == 1
+    assert batch._movie_frames(trials[0]) == n1
+    assert len(batch._FRAMES_CACHE) == 1  # second call hit the cache
+
+
 def test_unit_dt_fallback_warns(tmp_path, caplog):
     """Missing SamplingFrequency must warn (naming the trial) before times
     silently degrade to frame indices (VERDICT r2 weak #7)."""

@@ -84,6 +84,46 @@ def test_refined_with_two_level_matches_oracle(curved_mesh, wave_movie):
     assert bool(np.all(np.asarray(res.converged)))
 
 
+def test_coarse_tables_ignore_mesh_padding(curved_mesh, wave_movie):
+    """Pad vertices must not become singleton aggregates eating the coarse
+    budget: a padded mesh aggregates its VALID subgraph plus one inert pad
+    aggregate, and the two-level-preconditioned solve still matches."""
+    from manifold_flow_tpu.geometry.mesh import pad_mesh
+    from manifold_flow_tpu.solve.api import build_rhs
+
+    padded = pad_mesh(curved_mesh, vertex_multiple=64, triangle_multiple=128)
+    t_ref = coarse.build_tables(curved_mesh, passes=1)
+    t_pad = coarse.build_tables(padded, passes=1)
+    assert t_pad.n_coarse == t_ref.n_coarse + 1  # exactly one pad aggregate
+    n = curved_mesh.n_vertices
+    agg = np.asarray(t_pad.agg)
+    np.testing.assert_array_equal(agg[:n], np.asarray(t_ref.agg))
+    assert np.all(agg[n:] == t_ref.n_coarse)
+    # Pad members never enter the restriction gather table.
+    members = np.asarray(t_pad.members)
+    real = members[members < padded.n_vertices]
+    assert real.size and real.max() < n
+
+    pot, times = wave_movie
+    pot_pad = np.zeros((pot.shape[0], padded.n_vertices), pot.dtype)
+    pot_pad[:, :n] = pot
+    op = make_operator(curved_mesh, jnp.asarray(pot), 0.01)
+    op_p = make_operator(padded, jnp.asarray(pot_pad), 0.01)
+    f = build_rhs(curved_mesh, op, jnp.asarray(pot), jnp.asarray(times))
+    f_p = build_rhs(padded, op_p, jnp.asarray(pot_pad), jnp.asarray(times))
+    two = coarse.make_two_level(curved_mesh, op.g, op.lambda_, t_ref)
+    two_p = coarse.make_two_level(padded, op_p.g, op_p.lambda_, t_pad)
+    r = solve_cg(op, f, precond=two, tol=1e-9, max_iter=3000)
+    r_p = solve_cg(op_p, f_p, precond=two_p, tol=1e-9, max_iter=3000)
+    assert bool(np.all(np.asarray(r_p.converged)))
+    scale = np.abs(np.asarray(r.x)).max()
+    np.testing.assert_allclose(
+        np.asarray(r_p.x)[:, :n] / scale, np.asarray(r.x)[:, :n] / scale,
+        atol=1e-6)
+    # Corrections never leak into pad DOFs.
+    assert not np.any(np.asarray(r_p.x)[:, n: padded.n_vertices])
+
+
 def test_auto_passes_caps_coarse_size(curved_mesh):
     tables = coarse.build_tables(curved_mesh, passes=None)
     assert tables.n_coarse <= coarse.MAX_COARSE_SIZE

@@ -162,6 +162,25 @@ def test_geodesic_matrix_symmetric(small_mesh):
     np.testing.assert_allclose(d[0, j], np.linalg.norm(pts[j] - pts[0]))
 
 
+def test_pad_mesh_already_aligned_is_noop():
+    """A mesh whose shapes already sit on the bucket boundaries must pad to
+    itself (regression: the zero-pad path returned read-only views and the
+    inert-row writes crashed with 'assignment destination is read-only')."""
+    from manifold_flow_tpu.geometry import synthetic
+    from manifold_flow_tpu.geometry.mesh import pad_mesh
+
+    mesh = synthetic.plane_patch(nx=8, ny=8, lx=4.0, ly=4.0)
+    padded = pad_mesh(mesh, vertex_multiple=1, triangle_multiple=1,
+                      table_multiple=1, edge_multiple=1)
+    assert padded.n_vertices == mesh.n_vertices
+    assert padded.n_triangles == mesh.n_triangles
+    assert not padded.is_padded
+    np.testing.assert_array_equal(np.asarray(padded.points),
+                                  np.asarray(mesh.points))
+    np.testing.assert_array_equal(np.asarray(padded.triangles),
+                                  np.asarray(mesh.triangles))
+
+
 def test_pad_mesh_parity_across_ops():
     """pad_mesh (TPU tiling / fixed-shape program reuse): FEM solve,
     detection, streamlines, and winding give identical results on the padded
