@@ -122,13 +122,19 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
         mesh, vv, ff, capacity=cap))
     out["classify_fps"] = t / _time_program(classify, v, field)
 
-    # The stage entrypoint (adaptive window): device cost follows the
-    # longest actual walk, not the 256-step cap; includes the host-side
-    # cap check like production use.
+    # The stage entrypoint (adaptive window + compact escalation retrace):
+    # device cost follows the actual walk-length distribution, not the
+    # 256-step cap; includes the host-side escalation logic like production.
     def trace(vv):
         return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256)
 
     out["streamline_fps"] = t / _time_program(trace, v)
+    sl = trace(v)
+    k = int(np.asarray(sl.overlay_ids).size) if sl.overlay_ids is not None \
+        else 0
+    out["streamline_retrace_k"] = k
+    out["streamline_retrace_w"] = (
+        int(sl.overlay_vertices.shape[1] - 1) if k else 0)
 
     # Winding over the detected singularities at a common capacity (the
     # device program of pipeline.stages.winding_stage).
@@ -291,7 +297,8 @@ def bench_yardsticks(chase_size: int):
 
 def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
                     solve_time_s, streamline_time_s, winding_time_s,
-                    winding_unique, stream_window=64):
+                    winding_unique, stream_window=16, stream_retrace_k=0,
+                    stream_retrace_w=0):
     """Achieved-vs-ceiling fractions for the three stages whose throughput
     sits furthest above the dispatch floor. Each floor is a documented
     minimal-traffic model priced at the measured yardsticks; frac ~= 1 means
@@ -307,13 +314,16 @@ def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
     not pointer-chase gathers. Each outer step adds one two-float32 residual
     ~ 3x an f32 matvec. Ceiling: axpy_gbps.
 
-    Streamlines (window w): pointer doubling materializes seq via gathers of
-    sum_k 2^k = (w-1)*T*N elements plus log2(w)*T*N jump-table squarings and
-    one final column; each is an independent-index gather from a shared
-    table — priced at chase_geps. Next-hop tables + first-repeat detection
-    are modeled as streaming reads of the neighbor/cell tables
-    (T*(3*N*D + 2*N*C + 21*N) float32-equivalents at axpy_gbps; detection at
-    w<=64 measured ~3 ms is folded into that allowance).
+    Streamlines (two-pass adaptive, first window w1 then a compact retrace
+    of K truncated walks at w2): pointer doubling materializes seq via
+    gathers of sum 2^k = (w-1)*R elements per pass (R = T*N then K) plus
+    log2(w)*T*N jump-table squarings each and one final column; every one
+    is an independent-index gather from a shared table — priced at
+    chase_geps — and the second dispatch adds dispatch_ms. Next-hop tables
+    + first-repeat detection are modeled as streaming reads of the
+    neighbor/cell tables (T*(3*N*D + 2*N*C + 21*N) float32-equivalents at
+    axpy_gbps; detection at w<=64 measured ~3 ms is folded into that
+    allowance).
 
     Winding (unique-center grid design): one composite-key argsort of N
     keys (priced at sort_gkps; argsort ~ sort of key+payload, x2) and one
@@ -345,10 +355,16 @@ def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
         "solve_bw_frac": solve_floor / solve_time_s,
     }
 
-    w = stream_window
-    gathers = (w - 1) * t * n + int(np.log2(w)) * t * n + t * n
+    w1 = stream_window
+    gathers = (w1 - 1) * t * n + int(np.log2(w1)) * t * n + t * n
+    if stream_retrace_k:
+        w2 = stream_retrace_w
+        gathers += ((w2 - 1) * stream_retrace_k
+                    + int(np.log2(w2)) * t * n + stream_retrace_k)
     table_elems = t * (3 * n * d + 2 * n * c + 21 * n)
-    stream_floor = gathers / geps + 4.0 * table_elems / bw
+    stream_floor = (gathers / geps + 4.0 * table_elems / bw
+                    + (2 if stream_retrace_k else 1)
+                    * yard["dispatch_ms"] / 1e3)
     out["streamline_floor_ms"] = stream_floor * 1e3
     out["streamline_gather_frac"] = stream_floor / streamline_time_s
 
@@ -494,7 +510,9 @@ def main():
                 solve_time_s=n_frames / fps_tpu,
                 streamline_time_s=n_frames / stages["streamline_fps"],
                 winding_time_s=n_frames / stages["winding_fps"],
-                winding_unique=stages["winding_unique_centers"])
+                winding_unique=stages["winding_unique_centers"],
+                stream_retrace_k=stages["streamline_retrace_k"],
+                stream_retrace_w=stages["streamline_retrace_w"])
             extras.update({k: round(val, 3) for k, val in floors.items()})
     except Exception as e:
         extras["yardsticks_error"] = f"{type(e).__name__}"

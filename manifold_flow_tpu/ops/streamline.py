@@ -44,6 +44,13 @@ from manifold_flow_tpu.geometry.tangent import (
 class Streamlines(NamedTuple):
     vertices: jnp.ndarray  # (S, L+1) visited vertex ids, PAD_INDEX beyond length
     lengths: jnp.ndarray   # (S,) number of points in each streamline
+    # Adaptive-tracer overlay: walks longer than the first-pass window are
+    # re-traced compactly (a few % of seeds); their full rows live here
+    # instead of widening the whole (S, L+1) array. `overlay_ids` are seed
+    # indices into the flattened leading axes; `overlay_vertices` rows are
+    # LOCAL vertex ids, wider than `vertices`. compact() consults them.
+    overlay_ids: object | None = None       # (K,) int
+    overlay_vertices: object | None = None  # (K, L2+1) int
 
 
 # First-repeat detection strategy crossover (see trace): all-pairs compare
@@ -158,7 +165,6 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
     return cand.astype(jnp.int32), advance_ok
 
 
-@partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
           max_steps: int = 128, quirks: bool = False) -> Streamlines:
     """Trace one streamline from every vertex of the mesh for one frame.
@@ -168,9 +174,93 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     reference's single-shared-cell index bug (module docstring).
 
     One-frame wrapper over the batched tracer (see trace_frames)."""
-    sl = _trace_batched(mesh, v_world_frame[None], max_steps=max_steps,
-                        quirks=quirks)
+    sl, _ = _trace_frames_graph(mesh, v_world_frame[None],
+                                max_steps=max_steps, quirks=quirks)
     return Streamlines(vertices=sl.vertices[0], lengths=sl.lengths[0])
+
+
+def _hop_graph(mesh: TriMesh, v_world: jnp.ndarray, quirks: bool):
+    """Fuse the T frames' next-hop tables into ONE functional graph f (T*N,)
+    over global ids (frame k's vertex v = k*N + v; halting vertices are
+    self-loops, so every walk is a rho-shaped path)."""
+    t = v_world.shape[0]
+    n = mesh.n_vertices
+    next_tab, ok_tab = jax.vmap(
+        lambda v: _next_hop_tables(mesh, v, quirks=quirks))(v_world)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    f_local = jnp.where(ok_tab, next_tab, idx[None])  # halting => fixed point
+    offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
+    return (f_local + offs).reshape(-1)
+
+
+def _double_and_detect(f: jnp.ndarray, seeds: jnp.ndarray, max_steps: int):
+    """Materialize walks for `seeds` (R,) global ids over the graph f by
+    pointer doubling, and find each walk's first-repeat length.
+
+    Returns (seq (R, max_steps+1) GLOBAL ids, lengths (R,)); lengths is
+    max_steps + 1 for walks that never repeat in-window (the escalation
+    marker). See trace_frames for the algorithm rationale."""
+    seq = seeds[:, None]
+    jump = f
+    p = 1
+    while p < max_steps:
+        seq = jnp.concatenate([seq, jump[seq]], axis=1)
+        jump = jump[jump]
+        p *= 2
+    if p == max_steps:  # one extra column for step max_steps itself
+        seq = jnp.concatenate([seq, jump[seeds][:, None]], axis=1)
+    seq = seq[:, : max_steps + 1]                     # (R, L+1)
+
+    # Walk length = first step whose vertex already occurred. For small
+    # windows an all-pairs equality test (any i<j with seq[i]==seq[j]) fuses
+    # into one VPU compare+reduce — no sort passes at all; the quadratic
+    # term W^2 stays cheaper than the sort's W log^2 W passes until the
+    # (rows, W, W) tile volume takes over. Larger windows fall back to
+    # sorting (vertex, step) pairs: steps ascend within equal-vertex runs,
+    # so every non-first element of a run is a revisit; the earliest such
+    # step is the rho length mu + lam (or the cap when the walk never
+    # repeats in-window). Walks stay within their frame's id block, so the
+    # comparisons work unchanged on global ids.
+    width = max_steps + 2
+    steps = jnp.arange(max_steps + 1, dtype=jnp.int32)
+    if max_steps + 1 <= PAIRWISE_MAX_WINDOW:
+        eq = (seq[:, :, None] == seq[:, None, :]) \
+            & (steps[:, None] < steps[None, :])
+        repeat_j = jnp.any(eq, axis=1)                     # (R, W)
+        lengths = jnp.min(
+            jnp.where(repeat_j, steps[None, :], max_steps + 1), axis=1)
+    else:
+        # Composite keys hold GLOBAL ids scaled by the window width, so the
+        # int32 headroom is set by the id-space size, not the row count.
+        if f.shape[0] * width <= jnp.iinfo(jnp.int32).max:
+            key = jax.lax.sort(seq * jnp.int32(width) + steps[None, :],
+                               dimension=1)
+            v_sorted = key // width
+            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+            s_sorted = key[:, 1:] % width
+        else:  # huge movies: lexicographic two-operand sort
+            v_sorted, s_all = jax.lax.sort(
+                (seq, jnp.broadcast_to(steps, seq.shape)), dimension=1,
+                num_keys=2)
+            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
+            s_sorted = s_all[:, 1:]
+        lengths = jnp.min(
+            jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
+    return seq, lengths
+
+
+@partial(jax.jit, static_argnames=("n", "max_steps"))
+def _trace_seeds(f: jnp.ndarray, seeds: jnp.ndarray, n: int, max_steps: int):
+    """Compact retrace: walks for `seeds` (K,) global ids only, at a wider
+    window, over an already-built hop graph. The adaptive tracer's second
+    pass — the few % of walks that outlived the first-pass window re-trace
+    without paying the whole movie's gather volume again."""
+    seq, lengths = _double_and_detect(f, seeds, max_steps)
+    base = (seeds // n) * n
+    seq_local = seq - base[:, None]
+    slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None]
+    visited = jnp.where(slot < lengths[:, None], seq_local, PAD_INDEX)
+    return visited.astype(jnp.int32), lengths
 
 
 def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
@@ -203,68 +293,27 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
         raise ValueError(
             f"streamline tracer: T*N = {t}*{n} overflows the int32 global id "
             "space; trace the movie in frame chunks")
-    next_tab, ok_tab = jax.vmap(
-        lambda v: _next_hop_tables(mesh, v, quirks=quirks))(v_world)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    f_local = jnp.where(ok_tab, next_tab, idx[None])  # halting => fixed point
-    offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
-    f = (f_local + offs).reshape(-1)                  # (T*N,) global ids
+    f = _hop_graph(mesh, v_world, quirks)             # (T*N,) global ids
     idxg = jnp.arange(t * n, dtype=jnp.int32)
+    seq, lengths = _double_and_detect(f, idxg, max_steps)
 
-    # Pointer doubling: seq (T*N, P) holds f^i[seed] for steps i = 0..P-1.
-    seq = idxg[:, None]
-    jump = f
-    p = 1
-    while p < max_steps:
-        seq = jnp.concatenate([seq, jump[seq]], axis=1)
-        jump = jump[jump]
-        p *= 2
-    if p == max_steps:  # one extra column for step max_steps itself
-        seq = jnp.concatenate([seq, jump[idxg][:, None]], axis=1)
-    seq = seq[:, : max_steps + 1]                     # (T*N, L+1)
-
-    # Walk length = first step whose vertex already occurred. For small
-    # windows an all-pairs equality test (any i<j with seq[i]==seq[j]) fuses
-    # into one VPU compare+reduce — no sort passes at all; the quadratic
-    # term W^2 stays cheaper than the sort's W log^2 W passes until the
-    # (rows, W, W) tile volume takes over. Larger windows fall back to
-    # sorting (vertex, step) pairs: steps ascend within equal-vertex runs,
-    # so every non-first element of a run is a revisit; the earliest such
-    # step is the rho length mu + lam (or the cap when the walk never
-    # repeats in-window). Walks stay within their frame's id block, so the
-    # comparisons work unchanged on global ids.
-    width = max_steps + 2
-    steps = jnp.arange(max_steps + 1, dtype=jnp.int32)
-    if max_steps + 1 <= PAIRWISE_MAX_WINDOW:
-        eq = (seq[:, :, None] == seq[:, None, :]) \
-            & (steps[:, None] < steps[None, :])
-        repeat_j = jnp.any(eq, axis=1)                     # (T*N, W)
-        lengths = jnp.min(
-            jnp.where(repeat_j, steps[None, :], max_steps + 1), axis=1)
-    else:
-        if t * n * width <= jnp.iinfo(jnp.int32).max:
-            key = jax.lax.sort(seq * jnp.int32(width) + steps[None, :],
-                               dimension=1)
-            v_sorted = key // width
-            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
-            s_sorted = key[:, 1:] % width
-        else:  # huge movies: lexicographic two-operand sort
-            v_sorted, s_all = jax.lax.sort(
-                (seq, jnp.broadcast_to(steps, seq.shape)), dimension=1,
-                num_keys=2)
-            repeat = v_sorted[:, 1:] == v_sorted[:, :-1]
-            s_sorted = s_all[:, 1:]
-        lengths = jnp.min(
-            jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
-
+    offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
     seq_local = seq.reshape(t, n, -1) - offs[:, :, None]
     lengths = lengths.reshape(t, n)
-    slot = steps[None, None, :]
+    slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, None, :]
     visited = jnp.where(slot < lengths[..., None], seq_local, PAD_INDEX)
-    return Streamlines(vertices=visited.astype(jnp.int32), lengths=lengths)
+    return Streamlines(vertices=visited.astype(jnp.int32),
+                       lengths=lengths), f
 
 
 @partial(jax.jit, static_argnames=("max_steps", "quirks"))
+def _trace_frames_graph(mesh: TriMesh, v_world: jnp.ndarray,
+                        max_steps: int, quirks: bool):
+    """(Streamlines, hop graph) — the graph stays on device for compact
+    retraces (trace_frames_adaptive)."""
+    return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks)
+
+
 def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
                  max_steps: int = 128, quirks: bool = False) -> Streamlines:
     """Trace all frames in one device program: (T, N, 3) -> batched walks.
@@ -274,51 +323,87 @@ def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
     the per-frame tracing cost. Internally all frames share one flat id
     space so each pointer-doubling round is a single large gather
     (_trace_batched)."""
-    return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks)
+    return _trace_frames_graph(mesh, v_world, max_steps=max_steps,
+                               quirks=quirks)[0]
 
 
 def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
                           quirks: bool = False,
-                          initial_window: int = 64) -> Streamlines:
-    """trace_frames with an adaptive step window (host-level escalation).
+                          initial_window: int = 16) -> Streamlines:
+    """trace_frames with an adaptive window + compact escalation retrace.
 
     The tracer's device cost is the pointer-doubling gather volume
-    ~ T * N * window (TPU element gathers run at ~1 element/cycle), yet real
-    velocity-field walks end after a few dozen steps (measured max 39 at
-    reference scale against a 256-step cap). Start with a small window; a
-    walk that hits the cap has lengths == window + 1, and only then re-trace
-    with a 4x wider window (up to max_steps). Identical results to
-    trace_frames(max_steps=max_steps) — a resolved walk's length and vertex
-    prefix do not depend on the window — at ~window/max_steps of the cost;
-    the escalation retrace is rare and costs one extra dispatch.
+    ~ T * N * window (TPU element gathers run at ~7 cycles/element), yet
+    real velocity-field walks are short and front-loaded: measured at
+    reference scale, 81% of walks end within 16 steps, 98% within 32, all
+    within 48 (max 39) against a 256-step cap. Pass 1 traces every seed at
+    a small window; walks that hit the cap (lengths == window + 1) re-trace
+    at a 4x wider window — but ONLY those seeds (_trace_seeds, reusing the
+    pass-1 hop graph that stayed on device), so the escalation costs
+    K * window' gathers instead of T * N * window'. Results are identical
+    to trace_frames(max_steps=max_steps): a resolved walk's length and
+    vertex prefix do not depend on the window. The retraced walks come back
+    as an OVERLAY (Streamlines.overlay_*) rather than widening the whole
+    (T, N, L) array — compact() stitches them in.
 
     Not jittable (data-dependent host loop); pipeline stages and benchmarks
     call it from the host. Use trace_frames inside jit.
     """
     import numpy as np
 
+    t = np.shape(v_world)[0]
+    n = mesh.n_vertices
     window = min(initial_window, max_steps)
+    sl, f = _trace_frames_graph(mesh, v_world, max_steps=window,
+                                quirks=quirks)
+    if window >= max_steps:
+        return sl
+    lengths = np.asarray(sl.lengths)
+    unres = np.flatnonzero(lengths.ravel() == window + 1).astype(np.int32)
+    if unres.size == 0:
+        return sl
+    w2 = window
     while True:
-        sl = trace_frames(mesh, v_world, max_steps=window, quirks=quirks)
-        if window >= max_steps:
-            return sl
-        if not bool(np.any(np.asarray(sl.lengths) == window + 1)):
-            return sl
-        window = min(window * 4, max_steps)
+        w2 = min(w2 * 4, max_steps)
+        # Seed capacity buckets to powers of two so cohort sweeps reuse the
+        # compiled retrace program; pad slots repeat a real seed (harmless —
+        # their rows are simply ignored).
+        cap = max(8, 1 << int(np.ceil(np.log2(unres.size))))
+        seeds = np.full(cap, unres[0], np.int32)
+        seeds[: unres.size] = unres
+        ov, ol = _trace_seeds(f, jnp.asarray(seeds), n=n, max_steps=w2)
+        ol = np.asarray(ol)[: unres.size]
+        if w2 >= max_steps or not np.any(ol == w2 + 1):
+            break
+    patched = lengths.copy()
+    patched.ravel()[unres] = ol
+    # overlay_vertices stays a DEVICE array: fetching it here would move
+    # K * (w2+1) ints through the (slow) accelerator link even when the
+    # consumer only compacts a subset; np.asarray at the use site instead
+    # (same accounting as the main vertices array). Rows beyond unres.size
+    # are capacity padding.
+    return Streamlines(vertices=sl.vertices, lengths=patched.reshape(t, n),
+                       overlay_ids=unres, overlay_vertices=ov)
 
 
 def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
     """Host-side: masked walks -> list of coordinate polylines (S6:135-138).
 
-    Padding-vertex seeds (padded meshes) are skipped outright."""
+    Walks longer than the main array's window read their full row from the
+    adaptive tracer's overlay (Streamlines docstring). Padding-vertex seeds
+    (padded meshes) are skipped outright."""
     import numpy as np
 
     pts = np.asarray(mesh.points)
     verts = np.asarray(sl.vertices)
     lengths = np.asarray(sl.lengths)
+    omap = {}
+    if sl.overlay_ids is not None and len(sl.overlay_ids):
+        over = np.asarray(sl.overlay_vertices)
+        omap = {int(s): j for j, s in enumerate(np.asarray(sl.overlay_ids))}
     out = []
     for i in range(min(verts.shape[0], mesh.valid_vertices)):
         if lengths[i] >= min_length:
-            ids = verts[i, : lengths[i]]
-            out.append(pts[ids])
+            row = over[omap[i]] if i in omap else verts[i]
+            out.append(pts[row[: lengths[i]]])
     return out

@@ -395,9 +395,21 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         quirks=config.reference_quirks)
     verts = np.asarray(batched.vertices)
     lens = np.asarray(batched.lengths)
+    ov_ids = ov_v = None
+    if batched.overlay_ids is not None:
+        ov_ids = np.asarray(batched.overlay_ids)   # flat frame*N + vertex
+        # One device fetch; rows past len(ov_ids) are capacity padding.
+        ov_v = np.asarray(batched.overlay_vertices)[: len(ov_ids)]
+    n = verts.shape[1]
     out = {}
     for i, k in enumerate(frames):
-        sl = stream_ops.Streamlines(vertices=verts[i], lengths=lens[i])
+        if ov_ids is None:
+            sl = stream_ops.Streamlines(vertices=verts[i], lengths=lens[i])
+        else:
+            m = (ov_ids // n) == i
+            sl = stream_ops.Streamlines(
+                vertices=verts[i], lengths=lens[i],
+                overlay_ids=ov_ids[m] % n, overlay_vertices=ov_v[m])
         lines = stream_ops.compact(
             mesh, sl, min_length=config.analysis.min_streamline_length)
         out[str(k)] = lines

@@ -506,21 +506,70 @@ def test_streamline_walks_match_reference_rule(source_setup, quirk):
 
 def test_streamline_adaptive_window_matches_fixed(source_setup):
     """trace_frames_adaptive must equal the full-cap tracer, including when
-    the tiny initial window forces the escalation retrace."""
+    the tiny initial window forces the compact escalation retrace (walks
+    longer than the window come back through the overlay)."""
     mesh, _, _, _, _, v3 = source_setup
     v = jnp.asarray(v3[:3])
+    n = mesh.n_vertices
     full = streamline.trace_frames(mesh, v, max_steps=256)
-    for win in (2, 64):  # 2 forces escalation; 64 resolves in one pass
+    fl = np.asarray(full.lengths)
+    fv = np.asarray(full.vertices)
+    for win in (2, 16, 64):  # 2/16 force the retrace; 64 resolves in one
         ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
                                                initial_window=win)
-        np.testing.assert_array_equal(np.asarray(ada.lengths),
-                                      np.asarray(full.lengths))
-        w = ada.vertices.shape[-1]
-        np.testing.assert_array_equal(np.asarray(ada.vertices),
-                                      np.asarray(full.vertices)[..., :w])
-        # Everything beyond the adaptive window is padding in the full run.
-        assert np.all(np.asarray(full.vertices)[..., w:] ==
-                      streamline.PAD_INDEX)
+        np.testing.assert_array_equal(np.asarray(ada.lengths), fl)
+        av = np.asarray(ada.vertices)
+        omap = {}
+        if ada.overlay_ids is not None:
+            ov = np.asarray(ada.overlay_vertices)
+            omap = {int(s): j
+                    for j, s in enumerate(np.asarray(ada.overlay_ids))}
+            # Escalation only retraces walks the window truncated.
+            assert all(fl.ravel()[s] > win + 1 or fl.ravel()[s] == win + 1
+                       for s in omap)
+        for t in range(fl.shape[0]):
+            for i in range(0, n, 11):
+                length = fl[t, i]
+                flat = t * n + i
+                row = ov[omap[flat]] if flat in omap else av[t, i]
+                np.testing.assert_array_equal(row[:length],
+                                              fv[t, i, :length])
+        if win == 2:
+            assert omap, "window 2 must have produced overlay retraces"
+
+
+def test_streamline_stage_overlay_polylines(source_setup):
+    """The pipeline stage must stitch overlay walks into full polylines: a
+    tiny initial window and a permissive min length give the same line set
+    as the fixed full-cap tracer."""
+    from manifold_flow_tpu.pipeline.config import PipelineConfig
+
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:2])
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    want = {
+        t: streamline.compact(
+            mesh,
+            streamline.Streamlines(vertices=np.asarray(full.vertices)[t],
+                                   lengths=np.asarray(full.lengths)[t]),
+            min_length=4)
+        for t in range(2)
+    }
+    ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                           initial_window=2)
+    n = mesh.n_vertices
+    ov_ids = np.asarray(ada.overlay_ids)
+    ov_v = np.asarray(ada.overlay_vertices)[: len(ov_ids)]
+    for t in range(2):
+        m = (ov_ids // n) == t
+        sl = streamline.Streamlines(
+            vertices=np.asarray(ada.vertices)[t],
+            lengths=np.asarray(ada.lengths)[t],
+            overlay_ids=ov_ids[m] % n, overlay_vertices=ov_v[m])
+        got = streamline.compact(mesh, sl, min_length=4)
+        assert len(got) == len(want[t])
+        for a, b in zip(got, want[t]):
+            np.testing.assert_array_equal(a, b)
 
 
 def test_streamline_quirk_changes_boundary_walks():
