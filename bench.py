@@ -128,8 +128,14 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
     def trace(vv):
         return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256)
 
-    out["streamline_fps"] = t / _time_program(trace, v)
-    sl = trace(v)
+    sl = trace(v)  # compile + warmup, and the retrace stats come for free
+    jax.block_until_ready(sl)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trace(v))
+        best = min(best, time.perf_counter() - t0)
+    out["streamline_fps"] = t / best
     k = int(np.asarray(sl.overlay_ids).size) if sl.overlay_ids is not None \
         else 0
     out["streamline_retrace_k"] = k
@@ -355,12 +361,18 @@ def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
         "solve_bw_frac": solve_floor / solve_time_s,
     }
 
+    # Prices pass 1 plus ONE retrace at the recorded final width (the seed
+    # count uses the power-of-two capacity bucket the device actually
+    # gathers over); a rare multi-round escalation executes extra passes
+    # the model does not price, reading as a lower fraction on such runs.
     w1 = stream_window
     gathers = (w1 - 1) * t * n + int(np.log2(w1)) * t * n + t * n
     if stream_retrace_k:
         w2 = stream_retrace_w
-        gathers += ((w2 - 1) * stream_retrace_k
-                    + int(np.log2(w2)) * t * n + stream_retrace_k)
+        k_cap = max(8, 1 << int(np.ceil(np.log2(stream_retrace_k))))
+        # Squarings continue from the pass-1 power tables (not re-paid).
+        gathers += ((w2 - 1) * k_cap
+                    + (int(np.log2(w2)) - int(np.log2(w1))) * t * n + k_cap)
     table_elems = t * (3 * n * d + 2 * n * c + 21 * n)
     stream_floor = (gathers / geps + 4.0 * table_elems / bw
                     + (2 if stream_retrace_k else 1)

@@ -59,9 +59,10 @@ class Streamlines(NamedTuple):
 # doubling + detection): pairwise w=64 269 ms ~= sort 272 ms, pairwise w=96
 # 471 ms — detection alone is ~3 ms noise for both at w<=64, but the
 # pairwise (rows, W, W) compare volume grows quadratically and overtakes
-# the sort's ~log^2 W passes between 64 and 96, so only the adaptive
-# tracer's initial window (64) takes the pairwise path and escalations
-# keep the sort.
+# the sort's ~log^2 W passes between 64 and 96. With the two-pass adaptive
+# tracer (initial window 16), the full-seed first pass and the common
+# 64-step compact retrace (far fewer rows) both take the pairwise path;
+# only 128+-step escalations sort.
 PAIRWISE_MAX_WINDOW = 72
 
 
@@ -165,6 +166,7 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
     return cand.astype(jnp.int32), advance_ok
 
 
+@partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
           max_steps: int = 128, quirks: bool = False) -> Streamlines:
     """Trace one streamline from every vertex of the mesh for one frame.
@@ -173,9 +175,11 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     by min length, matching S6:29 + S6:135-138). `quirks` reproduces the
     reference's single-shared-cell index bug (module docstring).
 
-    One-frame wrapper over the batched tracer (see trace_frames)."""
-    sl, _ = _trace_frames_graph(mesh, v_world_frame[None],
-                                max_steps=max_steps, quirks=quirks)
+    One-frame jitted wrapper over the batched tracer (see trace_frames) —
+    the slicing stays inside the program so eager per-op dispatch latency
+    is never paid."""
+    sl, _ = _trace_batched(mesh, v_world_frame[None],
+                           max_steps=max_steps, quirks=quirks)
     return Streamlines(vertices=sl.vertices[0], lengths=sl.lengths[0])
 
 
@@ -193,22 +197,32 @@ def _hop_graph(mesh: TriMesh, v_world: jnp.ndarray, quirks: bool):
     return (f_local + offs).reshape(-1)
 
 
-def _double_and_detect(f: jnp.ndarray, seeds: jnp.ndarray, max_steps: int):
+def _double_and_detect(f: jnp.ndarray, seeds: jnp.ndarray, max_steps: int,
+                       powers: tuple = ()):
     """Materialize walks for `seeds` (R,) global ids over the graph f by
     pointer doubling, and find each walk's first-repeat length.
 
-    Returns (seq (R, max_steps+1) GLOBAL ids, lengths (R,)); lengths is
-    max_steps + 1 for walks that never repeat in-window (the escalation
-    marker). See trace_frames for the algorithm rationale."""
+    `powers` optionally carries already-squared jump tables
+    (f^1, f^2, f^4, ...) from an earlier pass — each squaring costs a full
+    (T*N,)-sized gather, so escalation retraces must not re-pay the prefix
+    the first pass computed. Returns (seq (R, max_steps+1) GLOBAL ids,
+    lengths (R,), powers_out); lengths is max_steps + 1 for walks that
+    never repeat in-window (the escalation marker). See trace_frames for
+    the algorithm rationale."""
+    pows = list(powers) if powers else [f]
     seq = seeds[:, None]
-    jump = f
     p = 1
+    k = 0
     while p < max_steps:
-        seq = jnp.concatenate([seq, jump[seq]], axis=1)
-        jump = jump[jump]
+        if k >= len(pows):
+            pows.append(pows[-1][pows[-1]])
+        seq = jnp.concatenate([seq, pows[k][seq]], axis=1)
         p *= 2
+        k += 1
     if p == max_steps:  # one extra column for step max_steps itself
-        seq = jnp.concatenate([seq, jump[seeds][:, None]], axis=1)
+        if k >= len(pows):
+            pows.append(pows[-1][pows[-1]])
+        seq = jnp.concatenate([seq, pows[k][seeds][:, None]], axis=1)
     seq = seq[:, : max_steps + 1]                     # (R, L+1)
 
     # Walk length = first step whose vertex already occurred. For small
@@ -246,26 +260,29 @@ def _double_and_detect(f: jnp.ndarray, seeds: jnp.ndarray, max_steps: int):
             s_sorted = s_all[:, 1:]
         lengths = jnp.min(
             jnp.where(repeat, s_sorted, max_steps + 1), axis=1)
-    return seq, lengths
+    return seq, lengths, tuple(pows)
 
 
 @partial(jax.jit, static_argnames=("n", "max_steps"))
-def _trace_seeds(f: jnp.ndarray, seeds: jnp.ndarray, n: int, max_steps: int):
+def _trace_seeds(powers: tuple, seeds: jnp.ndarray, n: int, max_steps: int):
     """Compact retrace: walks for `seeds` (K,) global ids only, at a wider
-    window, over an already-built hop graph. The adaptive tracer's second
-    pass — the few % of walks that outlived the first-pass window re-trace
-    without paying the whole movie's gather volume again."""
-    seq, lengths = _double_and_detect(f, seeds, max_steps)
+    window, over an already-built hop graph (passed as its squared jump
+    powers so the prefix squarings are not re-paid). The adaptive tracer's
+    escalation pass — the few % of walks that outlived the first-pass
+    window re-trace without paying the whole movie's gather volume again."""
+    seq, lengths, pows = _double_and_detect(powers[0], seeds, max_steps,
+                                            powers=powers)
     base = (seeds // n) * n
     seq_local = seq - base[:, None]
     slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None]
     visited = jnp.where(slot < lengths[:, None], seq_local, PAD_INDEX)
-    return visited.astype(jnp.int32), lengths
+    return visited.astype(jnp.int32), lengths, pows
 
 
-def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
-                   max_steps: int, quirks: bool) -> Streamlines:
-    """All frames, all seeds, one flat id space.
+def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
+                   quirks: bool) -> "tuple[Streamlines, tuple]":
+    """All frames, all seeds, one flat id space; returns the walks plus the
+    squared jump-power tables for escalation reuse.
 
     The next hop depends only on the current vertex, so the hop table is a
     FUNCTIONAL GRAPH (halting vertices made self-loops): every walk is a
@@ -295,7 +312,7 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
             "space; trace the movie in frame chunks")
     f = _hop_graph(mesh, v_world, quirks)             # (T*N,) global ids
     idxg = jnp.arange(t * n, dtype=jnp.int32)
-    seq, lengths = _double_and_detect(f, idxg, max_steps)
+    seq, lengths, pows = _double_and_detect(f, idxg, max_steps)
 
     offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
     seq_local = seq.reshape(t, n, -1) - offs[:, :, None]
@@ -303,14 +320,15 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray,
     slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, None, :]
     visited = jnp.where(slot < lengths[..., None], seq_local, PAD_INDEX)
     return Streamlines(vertices=visited.astype(jnp.int32),
-                       lengths=lengths), f
+                       lengths=lengths), pows
 
 
 @partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def _trace_frames_graph(mesh: TriMesh, v_world: jnp.ndarray,
                         max_steps: int, quirks: bool):
-    """(Streamlines, hop graph) — the graph stays on device for compact
-    retraces (trace_frames_adaptive)."""
+    """(Streamlines, jump-power tables) — the hop graph's squared powers
+    stay on device so compact escalation retraces extend them instead of
+    re-squaring from scratch (trace_frames_adaptive)."""
     return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks)
 
 
@@ -354,36 +372,63 @@ def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
     t = np.shape(v_world)[0]
     n = mesh.n_vertices
     window = min(initial_window, max_steps)
-    sl, f = _trace_frames_graph(mesh, v_world, max_steps=window,
-                                quirks=quirks)
+    sl, pows = _trace_frames_graph(mesh, v_world, max_steps=window,
+                                   quirks=quirks)
     if window >= max_steps:
         return sl
     lengths = np.asarray(sl.lengths)
     unres = np.flatnonzero(lengths.ravel() == window + 1).astype(np.int32)
     if unres.size == 0:
         return sl
+    rounds = []                  # (seed ids, device rows, host lengths)
+    active = unres
     w2 = window
     while True:
         w2 = min(w2 * 4, max_steps)
         # Seed capacity buckets to powers of two so cohort sweeps reuse the
         # compiled retrace program; pad slots repeat a real seed (harmless —
-        # their rows are simply ignored).
-        cap = max(8, 1 << int(np.ceil(np.log2(unres.size))))
-        seeds = np.full(cap, unres[0], np.int32)
-        seeds[: unres.size] = unres
-        ov, ol = _trace_seeds(f, jnp.asarray(seeds), n=n, max_steps=w2)
-        ol = np.asarray(ol)[: unres.size]
-        if w2 >= max_steps or not np.any(ol == w2 + 1):
+        # their rows are simply ignored). Each round re-traces only the
+        # SURVIVORS of the previous one, and the jump-power tables carry
+        # over so no squaring gather is ever paid twice.
+        cap = max(8, 1 << int(np.ceil(np.log2(active.size))))
+        seeds = np.full(cap, active[0], np.int32)
+        seeds[: active.size] = active
+        ov, ol, pows = _trace_seeds(pows, jnp.asarray(seeds), n=n,
+                                    max_steps=w2)
+        ol = np.asarray(ol)[: active.size]
+        rounds.append((active, ov, ol))
+        survivors = active[ol == w2 + 1]
+        if w2 >= max_steps or survivors.size == 0:
             break
+        active = survivors
     patched = lengths.copy()
-    patched.ravel()[unres] = ol
-    # overlay_vertices stays a DEVICE array: fetching it here would move
-    # K * (w2+1) ints through the (slow) accelerator link even when the
-    # consumer only compacts a subset; np.asarray at the use site instead
-    # (same accounting as the main vertices array). Rows beyond unres.size
-    # are capacity padding.
+    for ids, _, ol_r in rounds:
+        patched.ravel()[ids] = ol_r  # later rounds overwrite their subset
+    if len(rounds) == 1:
+        # overlay_vertices stays a DEVICE array: fetching it here would move
+        # K * (w2+1) ints through the (slow) accelerator link even when the
+        # consumer only compacts a subset; np.asarray at the use site
+        # instead (same accounting as the main vertices array). Rows beyond
+        # len(overlay_ids) are capacity padding.
+        ids, ov, _ = rounds[0]
+        return Streamlines(vertices=sl.vertices,
+                           lengths=patched.reshape(t, n),
+                           overlay_ids=ids, overlay_vertices=ov)
+    # Rare multi-round escalation (a walk outlived 4x the initial window):
+    # merge rounds host-side at the widest width, later rounds winning.
+    w_max = rounds[-1][1].shape[1]
+    merged: dict = {}
+    for ids, ov, _ in rounds:
+        rows = np.asarray(ov)
+        for j, s in enumerate(ids):
+            merged[int(s)] = rows[j]
+    out_ids = np.fromiter(merged.keys(), np.int32, len(merged))
+    out_rows = np.full((len(merged), w_max), PAD_INDEX, np.int32)
+    for i, s in enumerate(out_ids):
+        row = merged[int(s)]
+        out_rows[i, : row.size] = row
     return Streamlines(vertices=sl.vertices, lengths=patched.reshape(t, n),
-                       overlay_ids=unres, overlay_vertices=ov)
+                       overlay_ids=out_ids, overlay_vertices=out_rows)
 
 
 def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
