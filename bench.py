@@ -426,13 +426,24 @@ def bench_scale_12k(tol=1e-6, n_frames=98):
     potd, timesd = jnp.asarray(pot), jnp.asarray(times)
     best = _time_program(run, potd, timesd, repeats=2)
     res = step(potd, timesd)
-    return {
+    out = {
         "fps_12k": round((n_frames - 1) / best, 2),
         "iters_12k": int(res.iterations),
         "precond_12k": precond,
         "converged_12k": bool(np.all(np.asarray(res.converged))),
         "n_vertices_12k": mesh.n_vertices,
     }
+    try:
+        # Accuracy at scale: SuperLU parity on a 2-frame sample (the full
+        # 12.5k x 97-frame direct solve would take minutes on this host).
+        v_cpu, _ = bench_cpu_baseline(mesh, pot, times, n_sample=2)
+        scale = max(np.abs(v_cpu).max(), 1e-30)
+        v_got = np.asarray(res.v_k[:2], np.float64)
+        out["rmse_12k"] = float(
+            np.sqrt(np.mean((v_got - v_cpu) ** 2)) / scale)
+    except Exception as e:
+        out["rmse_12k_error"] = f"{type(e).__name__}"
+    return out
 
 
 def bench_cpu_baseline(mesh, pot, times, n_sample=6):
