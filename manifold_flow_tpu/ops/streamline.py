@@ -130,7 +130,8 @@ def _boundary_triangle_test(mesh: TriMesh, cur, cand, cell, e1, e2, vel,
     return inside & (orient != 0)
 
 
-def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
+def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False,
+                     boundary=None):
     """Per-vertex next-hop candidate and static advance mask for one frame.
 
     The walk rule (S6:51-138) chooses the next vertex from the CURRENT vertex
@@ -138,6 +139,12 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
     no-revisit check. So the candidate `next[v]` and every static condition
     (positive dot, interior/boundary triangle tests) can be computed ONCE for
     all N vertices, vectorized; the scan then just chases pointers.
+
+    `boundary` optionally lists the non-interior vertex ids (padded, from
+    boundary_indices): the shared-cell count and boundary-triangle test —
+    all private-index chase-class gathers — only influence `advance_ok`
+    where `interior` is False, so evaluating them on the boundary rows only
+    drops that gather volume ~B/N-fold (typically ~7% of vertices).
     """
     e1 = mesh.basis[:, 0]                                  # (N, 3)
     e2 = mesh.basis[:, 1]
@@ -155,14 +162,26 @@ def _next_hop_tables(mesh: TriMesh, vel: jnp.ndarray, quirks: bool = False):
     dmax = jnp.take_along_axis(dots, idx[:, None], axis=-1)[:, 0]
 
     interior = mesh.vertex_cell_count >= 6                 # (N,)
+    if boundary is None:
+        rows = jnp.arange(mesh.n_vertices, dtype=cand.dtype)
+        cand_b, e1b, e2b, velb = cand, e1, e2, vel
+    else:
+        rows = boundary                                    # (B,) padded
+        cand_b = cand[rows]
+        e1b, e2b, velb = e1[rows], e2[rows], vel[rows]
     count, cell = jax.vmap(_shared_cells)(
-        mesh.vertex_cells, mesh.vertex_cells[cand])
+        mesh.vertex_cells[rows], mesh.vertex_cells[cand_b])
     tri_ok = jax.vmap(partial(_boundary_triangle_test, quirks=quirks),
                       in_axes=(None, 0, 0, 0, 0, 0, 0))(
-        mesh, jnp.arange(mesh.n_vertices, dtype=cand.dtype), cand,
-        jnp.maximum(cell, 0), e1, e2, vel)
-    advance_ok = (dmax > 0) & (
-        interior | (count >= 2) | (tri_ok & (cell != PAD_INDEX)))
+        mesh, rows.astype(cand.dtype), cand_b,
+        jnp.maximum(cell, 0), e1b, e2b, velb)
+    bnd_ok = (count >= 2) | (tri_ok & (cell != PAD_INDEX))
+    if boundary is None:
+        ok = interior | bnd_ok
+    else:
+        # Tiny (B,) scatter-OR; duplicate padded rows write the same value.
+        ok = interior.at[rows].max(bnd_ok)
+    advance_ok = (dmax > 0) & ok
     return cand.astype(jnp.int32), advance_ok
 
 
@@ -175,22 +194,61 @@ def trace(mesh: TriMesh, v_world_frame: jnp.ndarray,
     by min length, matching S6:29 + S6:135-138). `quirks` reproduces the
     reference's single-shared-cell index bug (module docstring).
 
-    One-frame jitted wrapper over the batched tracer (see trace_frames) —
-    the slicing stays inside the program so eager per-op dispatch latency
-    is never paid."""
-    sl, _ = _trace_batched(mesh, v_world_frame[None],
-                           max_steps=max_steps, quirks=quirks)
+    One-frame wrapper over the batched tracer (see trace_frames): one
+    jitted program per call, never eager per-op dispatch."""
+    return _trace1(mesh, v_world_frame, boundary_indices(mesh),
+                   max_steps=max_steps, quirks=quirks)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "quirks"))
+def _trace1(mesh, v_world_frame, boundary, max_steps, quirks):
+    sl, _ = _trace_batched(mesh, v_world_frame[None], max_steps=max_steps,
+                           quirks=quirks, boundary=boundary)
     return Streamlines(vertices=sl.vertices[0], lengths=sl.lengths[0])
 
 
-def _hop_graph(mesh: TriMesh, v_world: jnp.ndarray, quirks: bool):
+_BOUNDARY_CACHE: dict = {}
+
+
+def boundary_indices(mesh: TriMesh):
+    """Padded int32 ids of the mesh's non-interior REAL vertices (cell count
+    < 6), or None when the mesh topology is traced. Cached by mesh identity
+    (id-pin pattern, see solve.coarse.build_tables); padded to a multiple
+    of 8 by repeating the first id so shape buckets are reused."""
+    import numpy as np
+
+    key = id(mesh.vertex_cell_count)
+    entry = _BOUNDARY_CACHE.get(key)
+    if entry is not None and entry[0] is mesh.vertex_cell_count:
+        return entry[1]
+    try:
+        counts = np.asarray(mesh.vertex_cell_count)
+    except Exception:  # traced mesh — callers fall back to the full path
+        return None
+    nv = int(mesh.valid_vertices)
+    ids = np.flatnonzero(counts[:nv] < 6).astype(np.int32)
+    if ids.size == 0:
+        out = jnp.zeros((8,), jnp.int32)  # closed surface: inert rows
+    else:
+        cap = -(-ids.size // 8) * 8
+        out = jnp.asarray(np.concatenate(
+            [ids, np.full(cap - ids.size, ids[0], np.int32)]))
+    _BOUNDARY_CACHE[key] = (mesh.vertex_cell_count, out)
+    while len(_BOUNDARY_CACHE) > 8:
+        _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
+    return out
+
+
+def _hop_graph(mesh: TriMesh, v_world: jnp.ndarray, quirks: bool,
+               boundary=None):
     """Fuse the T frames' next-hop tables into ONE functional graph f (T*N,)
     over global ids (frame k's vertex v = k*N + v; halting vertices are
     self-loops, so every walk is a rho-shaped path)."""
     t = v_world.shape[0]
     n = mesh.n_vertices
     next_tab, ok_tab = jax.vmap(
-        lambda v: _next_hop_tables(mesh, v, quirks=quirks))(v_world)
+        lambda v: _next_hop_tables(mesh, v, quirks=quirks,
+                                   boundary=boundary))(v_world)
     idx = jnp.arange(n, dtype=jnp.int32)
     f_local = jnp.where(ok_tab, next_tab, idx[None])  # halting => fixed point
     offs = (jnp.arange(t, dtype=jnp.int32) * n)[:, None]
@@ -280,7 +338,7 @@ def _trace_seeds(powers: tuple, seeds: jnp.ndarray, n: int, max_steps: int):
 
 
 def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
-                   quirks: bool) -> "tuple[Streamlines, tuple]":
+                   quirks: bool, boundary=None) -> "tuple[Streamlines, tuple]":
     """All frames, all seeds, one flat id space; returns the walks plus the
     squared jump-power tables for escalation reuse.
 
@@ -310,7 +368,7 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
         raise ValueError(
             f"streamline tracer: T*N = {t}*{n} overflows the int32 global id "
             "space; trace the movie in frame chunks")
-    f = _hop_graph(mesh, v_world, quirks)             # (T*N,) global ids
+    f = _hop_graph(mesh, v_world, quirks, boundary)   # (T*N,) global ids
     idxg = jnp.arange(t * n, dtype=jnp.int32)
     seq, lengths, pows = _double_and_detect(f, idxg, max_steps)
 
@@ -325,11 +383,12 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
 
 @partial(jax.jit, static_argnames=("max_steps", "quirks"))
 def _trace_frames_graph(mesh: TriMesh, v_world: jnp.ndarray,
-                        max_steps: int, quirks: bool):
+                        max_steps: int, quirks: bool, boundary=None):
     """(Streamlines, jump-power tables) — the hop graph's squared powers
     stay on device so compact escalation retraces extend them instead of
     re-squaring from scratch (trace_frames_adaptive)."""
-    return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks)
+    return _trace_batched(mesh, v_world, max_steps=max_steps, quirks=quirks,
+                          boundary=boundary)
 
 
 def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
@@ -342,7 +401,8 @@ def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
     space so each pointer-doubling round is a single large gather
     (_trace_batched)."""
     return _trace_frames_graph(mesh, v_world, max_steps=max_steps,
-                               quirks=quirks)[0]
+                               quirks=quirks,
+                               boundary=boundary_indices(mesh))[0]
 
 
 def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
@@ -373,7 +433,8 @@ def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
     n = mesh.n_vertices
     window = min(initial_window, max_steps)
     sl, pows = _trace_frames_graph(mesh, v_world, max_steps=window,
-                                   quirks=quirks)
+                                   quirks=quirks,
+                                   boundary=boundary_indices(mesh))
     if window >= max_steps:
         return sl
     lengths = np.asarray(sl.lengths)

@@ -538,6 +538,23 @@ def test_streamline_adaptive_window_matches_fixed(source_setup):
             assert omap, "window 2 must have produced overlay retraces"
 
 
+@pytest.mark.parametrize("quirk", [False, True])
+def test_streamline_boundary_fast_path_matches_full(source_setup, quirk):
+    """The boundary-row fast path (shared-cell/triangle tests evaluated only
+    on non-interior vertices) must equal the full evaluation exactly."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:2])
+    with_b = streamline._trace_frames_graph(
+        mesh, v, max_steps=64, quirks=quirk,
+        boundary=streamline.boundary_indices(mesh))[0]
+    full = streamline._trace_frames_graph(
+        mesh, v, max_steps=64, quirks=quirk, boundary=None)[0]
+    np.testing.assert_array_equal(np.asarray(with_b.lengths),
+                                  np.asarray(full.lengths))
+    np.testing.assert_array_equal(np.asarray(with_b.vertices),
+                                  np.asarray(full.vertices))
+
+
 def test_streamline_stage_overlay_polylines(source_setup):
     """The pipeline stage must stitch overlay walks into full polylines: a
     tiny initial window and a permissive min length give the same line set
