@@ -352,13 +352,37 @@ def classify_detected(mesh: TriMesh, v_world: jnp.ndarray,
         interior_ids=idx_i, interior_valid=valid_i, interior_codes=codes_i)
 
 
-def compact_frame(mesh: TriMesh, field: SingularityField, frame: int):
-    """Host-side: one frame's masked arrays -> reference-style lists.
+def compact_all(mesh: TriMesh, field: SingularityField):
+    """Host-side: every frame's masked arrays -> reference-style lists.
 
-    Returns (points (S, 3), kinds (S,) str 'vertex'/'interior', ids (S,)),
-    vertices first then interiors, matching the ordering of
-    find_singularity_points_for_all_Vk (utils/find_singularity_point.py:550-556).
-    """
+    Returns a list over frames of (points (S, 3), kinds (S,) str
+    'vertex'/'interior', ids (S,)), vertices first then interiors, matching
+    the ordering of find_singularity_points_for_all_Vk
+    (utils/find_singularity_point.py:550-556). Fetches each device array
+    ONCE — per-frame slicing of device arrays costs an eager dispatch plus
+    a transfer each on a remote accelerator (measured: the per-frame
+    formulation dominated the whole production flow stage)."""
+    import numpy as np
+
+    vm = np.asarray(field.vertex_mask)
+    im = np.asarray(field.interior_mask)
+    ipts = np.asarray(field.interior_point)
+    pts = np.asarray(mesh.points)
+    out = []
+    for k in range(vm.shape[0]):
+        vid = np.where(vm[k])[0]
+        mid = np.where(im[k])[0]
+        rows = [pts[i] for i in vid] + [ipts[k, m] for m in mid]
+        kinds = ["vertex"] * len(vid) + ["interior"] * len(mid)
+        ids = list(vid) + list(mid)
+        out.append((np.stack(rows) if rows else np.zeros((0, 3)),
+                    kinds, ids))
+    return out
+
+
+def compact_frame(mesh: TriMesh, field: SingularityField, frame: int):
+    """Host-side: one frame's masked arrays -> reference-style lists (see
+    compact_all; prefer it when processing whole movies)."""
     import numpy as np
 
     vm = np.asarray(field.vertex_mask[frame])

@@ -507,9 +507,11 @@ def compact(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
     if sl.overlay_ids is not None and len(sl.overlay_ids):
         over = np.asarray(sl.overlay_vertices)
         omap = {int(s): j for j, s in enumerate(np.asarray(sl.overlay_ids))}
+    # Iterate the qualifying seeds only (numpy filter): a python loop over
+    # every seed of every frame costs seconds per movie on small hosts.
+    nv = min(verts.shape[0], int(mesh.valid_vertices))
     out = []
-    for i in range(min(verts.shape[0], mesh.valid_vertices)):
-        if lengths[i] >= min_length:
-            row = over[omap[i]] if i in omap else verts[i]
-            out.append(pts[row[: lengths[i]]])
+    for i in np.flatnonzero(lengths[:nv] >= min_length):
+        row = over[omap[i]] if i in omap else verts[i]
+        out.append(pts[row[: lengths[i]]])
     return out

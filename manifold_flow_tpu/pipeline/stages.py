@@ -298,25 +298,27 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         cap = -(-cap // 8) * 8
         det = sing_ops.classify_detected(mesh, v, field, capacity=cap,
                                          quirks=config.reference_quirks)
-        code_maps = []
-        for k in range(v.shape[0]):
-            cm = {}
-            for ids, valid, codes, kind in (
+        # ONE fetch per array: per-frame slices of device arrays each pay
+        # an eager dispatch + transfer on a remote accelerator (measured:
+        # this loop's per-frame formulation dominated the flow stage).
+        cols = [(np.asarray(ids), np.asarray(valid), np.asarray(codes), kind)
+                for ids, valid, codes, kind in (
                     (det.vertex_ids, det.vertex_valid, det.vertex_codes,
                      "vertex"),
                     (det.interior_ids, det.interior_valid,
-                     det.interior_codes, "interior")):
-                row_ids = np.asarray(ids[k])
-                row_ok = np.asarray(valid[k])
-                row_codes = np.asarray(codes[k])
-                for i in range(row_ids.shape[0]):
-                    if row_ok[i]:
-                        cm[(kind, int(row_ids[i]))] = int(row_codes[i])
+                     det.interior_codes, "interior"))]
+        code_maps = []
+        for k in range(v.shape[0]):
+            cm = {}
+            for row_ids, row_ok, row_codes, kind in cols:
+                for i in np.flatnonzero(row_ok[k]):
+                    cm[(kind, int(row_ids[k, i]))] = int(row_codes[k, i])
             code_maps.append(cm)
     points_per_frame = []
     labels_per_frame = []
+    compacted = sing_ops.compact_all(mesh, field)
     for k in range(v.shape[0]):
-        pts, kinds, ids = sing_ops.compact_frame(mesh, field, k)
+        pts, kinds, ids = compacted[k]
         points_per_frame.append(pts)
         if classify:
             lab = [sing_ops.CLASS_NAMES[code_maps[k][(kind, int(idx))]]
