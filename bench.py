@@ -446,7 +446,7 @@ def bench_scale_12k(tol=1e-6, n_frames=98):
     return out
 
 
-def bench_trial(mesh, pot, times, sfreq=512.0):
+def bench_trial(mesh, pot, times):
     """Wall-clock of ONE production trial through the batch driver — all
     device stages (flow, decompose, wavespeed, streamline, winding) against
     a reference-layout results tree, including artifact IO and the padded
@@ -464,6 +464,9 @@ def bench_trial(mesh, pot, times, sfreq=512.0):
     from manifold_flow_tpu.pipeline.config import PipelineConfig
     from manifold_flow_tpu.utils import io as mio
 
+    # Sidecar sampling frequency derived from the movie's own time base so
+    # the trial computes at the same dt as the headline solver benches.
+    sfreq = float(1.0 / (np.asarray(times)[1] - np.asarray(times)[0]))
     with tempfile.TemporaryDirectory() as d:
         root = Path(d)
         subj = root / "sub-01"
@@ -592,7 +595,10 @@ def main():
     try:
         # Soft time budget: the remote compile service is flaky (minutes per
         # program on bad days) and the trial bench compiles the full padded
-        # pipeline; a hang here must not zero the whole bench run.
+        # pipeline. This bounds slow-but-returning compiles only — a signal
+        # handler cannot interrupt a hang inside a blocking C-level PJRT
+        # call (and such a hang would equally stall the earlier solve
+        # benches; the driver's own process timeout is the real backstop).
         import signal
 
         def _bail(signum, frame):

@@ -372,11 +372,10 @@ def compact_all(mesh: TriMesh, field: SingularityField):
     for k in range(vm.shape[0]):
         vid = np.where(vm[k])[0]
         mid = np.where(im[k])[0]
-        rows = [pts[i] for i in vid] + [ipts[k, m] for m in mid]
+        rows = np.concatenate([pts[vid], ipts[k][mid]], axis=0)
         kinds = ["vertex"] * len(vid) + ["interior"] * len(mid)
         ids = list(vid) + list(mid)
-        out.append((np.stack(rows) if rows else np.zeros((0, 3)),
-                    kinds, ids))
+        out.append((rows, kinds, ids))
     return out
 
 
