@@ -241,6 +241,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
 
     movie = None
     vel = None
+    sing_pts = None
     v_world_cache = None
     sfreq_cache = [sfreq, sfreq is not None]
 
@@ -296,60 +297,77 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
             f"{trial.key}: stage needs velocity fields but 'flow' neither "
             "ran nor left artifacts; include 'flow' in stages")
 
-    for s in todo:
-        t0 = time.perf_counter()
-        if s == "flow":
-            m = get_movie()
-            vel = S.velocity_stage(
-                mesh, m, get_times(m.shape[0]), config,
-                # S3:46 writes e per subject: {subfolder}_e.csv.
-                e_path=trial.surface_path.parent / f"{trial.subject}_e.csv",
-                v_k_path=d / names["v_k"],
-                speed_path=d / names["speed"])
-            S.singularity_stage(mesh, vel.v_world, config,
-                                save_path=d / names["singularity"])
-        elif s == "decompose":
-            if vel is not None:
-                from manifold_flow_tpu.geometry.mesh import unpad_dof_field
-
-                v_k = unpad_dof_field(mesh, vel.v_k)
-            else:
-                v_k = io.load_indexed_csv(d / names["v_k"]) if (
-                    d / names["v_k"]).exists() else None
-            if v_k is None:
-                raise RuntimeError(
-                    f"{trial.key}: decompose needs {names['v_k']}")
-            S.decompose_stage(v_k, config, mode="concat",
-                              npz_path=d / names["decompose"])
-        elif s in ("wavespeed", "wavespeed_amplitude"):
-            if s == "wavespeed":
-                if trial.phases_path is None:
-                    result[s] = "skipped"
-                    continue
-                m = io.load_indexed_csv(trial.phases_path)
-                method = "phase"
-            else:
+    # One background writer per trial: artifact serialization (pandas CSV,
+    # bz2 pickles) overlaps the next stage's device program instead of
+    # blocking it; the context manager drains it before returning, so a
+    # 'done' result means the files are on disk.
+    with io.ArtifactWriter() as writer:
+        for s in todo:
+            t0 = time.perf_counter()
+            if s == "flow":
                 m = get_movie()
-                method = "amplitude"
-            f = get_sfreq()
-            S.wavespeed_stage(mesh, m, dt=1.0 / f if f else 1.0,
-                              method=method, save_path=d / names[s])
-        elif s == "streamline":
-            # Per-frame files, the reference's layout (S6:258-262): a
-            # consumer globbing t_velocityfields_streamlines_<k>.pkl.bz2
-            # finds one dict {frame: lines} per frame.
-            S.streamline_stage(
-                mesh, get_velocity(), config,
-                save_path_fmt=str(d / names["streamline_fmt"]))
-        elif s == "winding":
-            pts = io.load_pickle(d / names["singularity"])
-            S.winding_stage(mesh, get_velocity(), pts, config,
-                            save_path=d / names["winding"])
-        else:
-            raise ValueError(f"unknown batch stage {s!r}")
-        result[s] = "done"
-        logger.info("batch: %s %s done in %.2fs", trial.key, s,
-                    time.perf_counter() - t0)
+                vel = S.velocity_stage(
+                    mesh, m, get_times(m.shape[0]), config,
+                    # S3:46 writes e per subject: {subfolder}_e.csv.
+                    e_path=(trial.surface_path.parent
+                            / f"{trial.subject}_e.csv"),
+                    v_k_path=d / names["v_k"],
+                    speed_path=d / names["speed"], writer=writer)
+                sing_pts, _ = S.singularity_stage(
+                    mesh, vel.v_world, config,
+                    save_path=d / names["singularity"], writer=writer)
+            elif s == "decompose":
+                if vel is not None:
+                    from manifold_flow_tpu.geometry.mesh import (
+                        unpad_dof_field)
+
+                    v_k = unpad_dof_field(mesh, vel.v_k)
+                else:
+                    v_k = io.load_indexed_csv(d / names["v_k"]) if (
+                        d / names["v_k"]).exists() else None
+                if v_k is None:
+                    raise RuntimeError(
+                        f"{trial.key}: decompose needs {names['v_k']}")
+                S.decompose_stage(v_k, config, mode="concat",
+                                  npz_path=d / names["decompose"],
+                                  writer=writer)
+            elif s in ("wavespeed", "wavespeed_amplitude"):
+                if s == "wavespeed":
+                    if trial.phases_path is None:
+                        result[s] = "skipped"
+                        continue
+                    m = io.load_indexed_csv(trial.phases_path)
+                    method = "phase"
+                else:
+                    m = get_movie()
+                    method = "amplitude"
+                f = get_sfreq()
+                S.wavespeed_stage(mesh, m, dt=1.0 / f if f else 1.0,
+                                  method=method, save_path=d / names[s],
+                                  writer=writer)
+            elif s == "streamline":
+                # Per-frame files, the reference's layout (S6:258-262): a
+                # consumer globbing t_velocityfields_streamlines_<k>.pkl.bz2
+                # finds one dict {frame: lines} per frame.
+                S.streamline_stage(
+                    mesh, get_velocity(), config,
+                    save_path_fmt=str(d / names["streamline_fmt"]),
+                    writer=writer)
+            elif s == "winding":
+                # This run's detection pass hands its points over in memory
+                # (the pickle may still be queued on the writer); a resumed
+                # run reads the artifact of the previous one.
+                pts = ([list(p) for p in sing_pts]
+                       if sing_pts is not None
+                       else io.load_pickle(d / names["singularity"]))
+                S.winding_stage(mesh, get_velocity(), pts, config,
+                                save_path=d / names["winding"],
+                                writer=writer)
+            else:
+                raise ValueError(f"unknown batch stage {s!r}")
+            result[s] = "done"
+            logger.info("batch: %s %s done in %.2fs", trial.key, s,
+                        time.perf_counter() - t0)
     return result
 
 

@@ -178,7 +178,7 @@ class VelocityStage(NamedTuple):
 
 def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                    e_path=None, v_k_path=None, speed_path=None,
-                   device_mesh=None) -> VelocityStage:
+                   device_mesh=None, writer=None) -> VelocityStage:
     """S3 core: velocity fields + recombination + speed map (+ artifacts).
 
     Non-convergence is loud: any frame still above `tol` at `max_iter` is
@@ -256,16 +256,14 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     # mesh is shape-bucketed; downstream in-memory stages keep the padded
     # arrays so their shapes match the mesh.
     if e_path is not None:
-        io.ensure_dir(e_path)
-        io.save_e_csv(
-            e_path,
-            np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
+        io.submit_write(writer, io.save_e_csv, e_path,
+                        np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
     if v_k_path is not None:
-        io.ensure_dir(v_k_path)
-        io.save_indexed_csv(v_k_path, unpad_dof_field(mesh, res.v_k))
+        io.submit_write(writer, io.save_indexed_csv, v_k_path,
+                        np.asarray(unpad_dof_field(mesh, res.v_k)))
     if speed_path is not None:
-        io.ensure_dir(speed_path)
-        io.save_pickle(speed_path, unpad_vertex_field(mesh, speed))
+        io.submit_write(writer, io.save_pickle, speed_path,
+                        np.asarray(unpad_vertex_field(mesh, speed)))
     return VelocityStage(
         v_k=np.asarray(res.v_k), e=np.asarray(mesh.basis),
         v_world=np.asarray(v_world), speed=np.asarray(speed),
@@ -275,7 +273,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
 
 def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
                       classify: bool = False, save_path=None,
-                      classification_path=None):
+                      classification_path=None, writer=None):
     """S3 detection: per-frame singularity lists (+ classification).
 
     Returns (points_per_frame, labels_per_frame) where labels are
@@ -325,17 +323,17 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
                    for kind, idx in zip(kinds, ids)]
             labels_per_frame.append(lab)
     if save_path is not None:
-        io.ensure_dir(save_path)
-        io.save_pickle(save_path, [list(p) for p in points_per_frame])
+        io.submit_write(writer, io.save_pickle, save_path,
+                        [list(p) for p in points_per_frame])
     if classification_path is not None and classify:
-        io.ensure_dir(classification_path)
-        io.save_pickle(classification_path, labels_per_frame)
+        io.submit_write(writer, io.save_pickle, classification_path,
+                        labels_per_frame)
     return points_per_frame, (labels_per_frame if classify else None)
 
 
 # ------------------------------------------------------------------- S4 ----
 def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
-                    npz_path=None):
+                    npz_path=None, writer=None):
     """S4: spatiotemporal SVD (complex or concatenated-real form)."""
     import jax.numpy as jnp
 
@@ -349,16 +347,16 @@ def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
     if npz_path is not None:
         from manifold_flow_tpu.utils.precision import complex_to_numpy
 
-        io.ensure_dir(npz_path)
-        np.savez(npz_path, U=complex_to_numpy(modes.u),
-                 Sigma=np.asarray(modes.sigma), VT=complex_to_numpy(modes.vt),
-                 point_num=v.shape[-1] // 2)
+        io.submit_write(writer, np.savez, npz_path, U=complex_to_numpy(modes.u),
+                        Sigma=np.asarray(modes.sigma),
+                        VT=complex_to_numpy(modes.vt),
+                        point_num=v.shape[-1] // 2)
     return modes
 
 
 # ------------------------------------------------------------------- S5 ----
 def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
-                    save_path=None) -> np.ndarray:
+                    save_path=None, writer=None) -> np.ndarray:
     """S5: wave speeds from an amplitude or phase movie (T, N).
 
     On a padded mesh, an unpadded movie is zero-extended for the device
@@ -372,16 +370,15 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
         ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
     else:
         raise ValueError(f"unknown wavespeed method {method!r}")
-    ws = unpad_vertex_field(mesh, ws)
+    ws = np.asarray(unpad_vertex_field(mesh, ws))
     if save_path is not None:
-        io.ensure_dir(save_path)
-        io.save_pickle(save_path, ws)
+        io.submit_write(writer, io.save_pickle, save_path, ws)
     return ws
 
 
 # ------------------------------------------------------------------- S6 ----
 def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
-                     frames=None, save_path_fmt=None):
+                     frames=None, save_path_fmt=None, writer=None):
     """S6: per-frame streamline sets {frame: [polyline, ...]}."""
     import jax.numpy as jnp
 
@@ -417,14 +414,13 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         out[str(k)] = lines
         if save_path_fmt is not None:
             path = save_path_fmt.format(frame=k)
-            io.ensure_dir(path)
-            io.save_pickle(path, {str(k): lines})
+            io.submit_write(writer, io.save_pickle, path, {str(k): lines})
     return out
 
 
 # ------------------------------------------------------------------- S7 ----
 def winding_stage(mesh: TriMesh, v_world, singularity_points,
-                  config: PipelineConfig, save_path=None):
+                  config: PipelineConfig, save_path=None, writer=None):
     """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}."""
     import jax.numpy as jnp
 
@@ -469,6 +465,5 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
                              int(types[t, i])])
             winding_lines[str(t)] = rows
     if save_path is not None:
-        io.ensure_dir(save_path)
-        io.save_pickle(save_path, winding_lines)
+        io.submit_write(writer, io.save_pickle, save_path, winding_lines)
     return winding_lines

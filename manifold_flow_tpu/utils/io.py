@@ -259,3 +259,97 @@ def load_pickle(path, compress: bool | None = None):
 def ensure_dir(path):
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     return path
+
+
+# ----------------------------------------------------- background writer ----
+class ArtifactWriter:
+    """Background artifact writer: overlaps host-side serialization with
+    device compute.
+
+    A trial's stages run device programs back-to-back, but each stage
+    first blocks on its artifact writes — pandas CSV formatting and bz2
+    compression (the reference's `pkl.bz2` formats) cost hundreds of ms
+    apiece on this 2-core host. Submitting the writes to one worker
+    thread lets the next stage's device program start immediately: the
+    worker spends its time in GIL-releasing C code (bz2, pandas/numpy)
+    while the main thread blocks on the accelerator, so the overlap is
+    real even with two cores.
+
+    Ordering per writer is FIFO. `wait()` drains the queue and re-raises
+    the first failure; the context manager calls it on exit, so a trial
+    cannot report success with writes still pending. Callers must pass
+    host (numpy) data — submitting device arrays would move the
+    device->host fetch into the worker, serializing it against the main
+    thread's dispatches on a remote backend.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="artifact-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                self._q.task_done()
+                return
+            fn, args, kwargs = job
+            try:
+                if self._err is None:  # fail fast, keep draining the queue
+                    fn(*args, **kwargs)
+            except BaseException as e:  # noqa: BLE001 - re-raised in wait()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn, *args, **kwargs):
+        """Enqueue fn(*args, **kwargs); raises a previously queued write's
+        error rather than silently accepting work after a failure."""
+        if self._err is not None:
+            self.wait()
+        self._q.put((fn, args, kwargs))
+
+    def wait(self):
+        """Block until every submitted write finished; re-raise the first
+        error (subsequent jobs were skipped, not half-applied)."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._q.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        # On an exception in the body, still drain (artifacts already
+        # queued stay consistent) but prefer the body's error.
+        if exc_type is not None:
+            try:
+                self.close()
+            except BaseException:
+                pass
+            return False
+        self.close()
+        return False
+
+
+def submit_write(writer, fn, path, *args, **kwargs):
+    """Write now (writer=None) or via the background writer: the single
+    call every stage routes its artifact writes through. Creates the
+    parent directory eagerly either way so enqueue-order never matters."""
+    ensure_dir(path)
+    if writer is None:
+        fn(path, *args, **kwargs)
+    else:
+        writer.submit(fn, path, *args, **kwargs)

@@ -374,3 +374,51 @@ def test_distributed_shard_derivation(results_tree):
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DISTRIBUTED_OK" in out.stdout
+
+
+# ------------------------------------------------------ background writer ----
+def test_artifact_writer_matches_sync_bytes(tmp_path):
+    """Writes routed through the background writer produce byte-identical
+    artifacts to synchronous ones, in submission order."""
+    import numpy as np
+
+    from manifold_flow_tpu.utils import io
+
+    data = np.arange(12.0).reshape(3, 4)
+    obj = {"0": [np.ones(3), "x"]}
+    io.save_indexed_csv(tmp_path / "sync.csv", data)
+    io.save_pickle(tmp_path / "sync.pkl.bz2", obj)
+    with io.ArtifactWriter() as w:
+        io.submit_write(w, io.save_indexed_csv, tmp_path / "bg.csv", data)
+        io.submit_write(w, io.save_pickle, tmp_path / "bg.pkl.bz2", obj)
+    assert (tmp_path / "bg.csv").read_bytes() == \
+        (tmp_path / "sync.csv").read_bytes()
+    got = io.load_pickle(tmp_path / "bg.pkl.bz2")
+    assert list(got) == ["0"] and got["0"][1] == "x"
+    np.testing.assert_array_equal(got["0"][0], obj["0"][0])
+
+
+def test_artifact_writer_raises_on_failed_write(tmp_path):
+    """A failed background write surfaces on wait()/exit instead of being
+    swallowed; later queued jobs are skipped, not half-applied."""
+    import pytest
+
+    from manifold_flow_tpu.utils import io
+
+    def boom(path):
+        raise OSError("disk full")
+
+    w = io.ArtifactWriter()
+    w.submit(boom, tmp_path / "a")
+    w.submit(io.save_pickle, tmp_path / "later.pkl", {"k": 1})
+    with pytest.raises(OSError, match="disk full"):
+        w.wait()
+    assert not (tmp_path / "later.pkl").exists()
+    w.close()
+
+
+def test_submit_write_sync_when_no_writer(tmp_path):
+    from manifold_flow_tpu.utils import io
+
+    io.submit_write(None, io.save_pickle, tmp_path / "d" / "x.pkl", [1, 2])
+    assert io.load_pickle(tmp_path / "d" / "x.pkl") == [1, 2]
