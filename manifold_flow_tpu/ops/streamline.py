@@ -255,6 +255,16 @@ def _hop_graph(mesh: TriMesh, v_world: jnp.ndarray, quirks: bool,
     return (f_local + offs).reshape(-1)
 
 
+def _walk_dtype(n: int, max_steps: int):
+    """Narrowest int dtype for the LOCAL walk results (vertex ids < n,
+    lengths <= max_steps + 1, PAD_INDEX = -1). The walk arrays cross the
+    device->host boundary (a ~45 MB/s tunnel on this machine's remote
+    accelerator), so int16 halves the tracer's dominant fetch whenever the
+    mesh size allows; global-id internals stay int32."""
+    return (jnp.int16 if max(n, max_steps + 2) < jnp.iinfo(jnp.int16).max
+            else jnp.int32)
+
+
 def _double_and_detect(f: jnp.ndarray, seeds: jnp.ndarray, max_steps: int,
                        powers: tuple = ()):
     """Materialize walks for `seeds` (R,) global ids over the graph f by
@@ -334,7 +344,8 @@ def _trace_seeds(powers: tuple, seeds: jnp.ndarray, n: int, max_steps: int):
     seq_local = seq - base[:, None]
     slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None]
     visited = jnp.where(slot < lengths[:, None], seq_local, PAD_INDEX)
-    return visited.astype(jnp.int32), lengths, pows
+    dt = _walk_dtype(n, max_steps)
+    return visited.astype(dt), lengths.astype(dt), pows
 
 
 def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
@@ -377,8 +388,9 @@ def _trace_batched(mesh: TriMesh, v_world: jnp.ndarray, max_steps: int,
     lengths = lengths.reshape(t, n)
     slot = jnp.arange(max_steps + 1, dtype=jnp.int32)[None, None, :]
     visited = jnp.where(slot < lengths[..., None], seq_local, PAD_INDEX)
-    return Streamlines(vertices=visited.astype(jnp.int32),
-                       lengths=lengths), pows
+    dt = _walk_dtype(n, max_steps)
+    return Streamlines(vertices=visited.astype(dt),
+                       lengths=lengths.astype(dt)), pows
 
 
 @partial(jax.jit, static_argnames=("max_steps", "quirks"))

@@ -32,6 +32,7 @@ vertex movies.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import time
@@ -300,8 +301,23 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     # One background writer per trial: artifact serialization (pandas CSV,
     # bz2 pickles) overlaps the next stage's device program instead of
     # blocking it; the context manager drains it before returning, so a
-    # 'done' result means the files are on disk.
-    with io.ArtifactWriter() as writer:
+    # 'done' result means the files are on disk. The phases CSV (wavespeed's
+    # input) is prefetched on a second thread for the same reason — both
+    # sides are GIL-releasing pandas/bz2 C code riding the accelerator wait.
+    with contextlib.ExitStack() as stack:
+        phases_future = None
+        if ("wavespeed" in todo and todo[0] != "wavespeed"
+                and trial.phases_path is not None):
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = stack.enter_context(ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="artifact-prefetch"))
+            phases_future = pool.submit(io.load_indexed_csv,
+                                        trial.phases_path)
+        # Two workers: the per-frame streamline pkl.bz2 set alone is ~2.5 s
+        # of (GIL-releasing) compression at reference scale; a second
+        # thread halves the drain tail after the last device stage.
+        writer = stack.enter_context(io.ArtifactWriter(workers=2))
         for s in todo:
             t0 = time.perf_counter()
             if s == "flow":
@@ -336,7 +352,8 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                     if trial.phases_path is None:
                         result[s] = "skipped"
                         continue
-                    m = io.load_indexed_csv(trial.phases_path)
+                    m = (phases_future.result() if phases_future is not None
+                         else io.load_indexed_csv(trial.phases_path))
                     method = "phase"
                 else:
                     m = get_movie()

@@ -275,23 +275,29 @@ class ArtifactWriter:
     while the main thread blocks on the accelerator, so the overlap is
     real even with two cores.
 
-    Ordering per writer is FIFO. `wait()` drains the queue and re-raises
-    the first failure; the context manager calls it on exit, so a trial
-    cannot report success with writes still pending. Callers must pass
+    Jobs are dispatched FIFO; with `workers > 1` they complete in any
+    order, so submitters must target distinct paths (stage artifacts do).
+    `wait()` drains the queue and re-raises the first failure; the context
+    manager calls it on exit, so a trial cannot report success with writes
+    still pending. Callers must pass
     host (numpy) data — submitting device arrays would move the
     device->host fetch into the worker, serializing it against the main
     thread's dispatches on a remote backend.
     """
 
-    def __init__(self):
+    def __init__(self, workers: int = 1):
         import queue
         import threading
 
         self._q: "queue.Queue" = queue.Queue()
         self._err = None
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="artifact-writer")
-        self._thread.start()
+        self._workers = max(1, int(workers))
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True,
+                             name=f"artifact-writer-{i}")
+            for i in range(self._workers)]
+        for th in self._threads:
+            th.start()
 
     def _run(self):
         while True:
@@ -325,7 +331,8 @@ class ArtifactWriter:
 
     def close(self):
         self.wait()
-        self._q.put(None)
+        for _ in range(self._workers):
+            self._q.put(None)
         self._q.join()
 
     def __enter__(self):

@@ -422,3 +422,38 @@ def test_submit_write_sync_when_no_writer(tmp_path):
 
     io.submit_write(None, io.save_pickle, tmp_path / "d" / "x.pkl", [1, 2])
     assert io.load_pickle(tmp_path / "d" / "x.pkl") == [1, 2]
+
+
+def test_winding_in_memory_handoff_matches_disk(tmp_path):
+    """The winding stage fed this run's in-memory singularity points (the
+    pickle may still be queued on the background writer) produces the same
+    artifact as a resumed run that reads the pickle from disk."""
+    mesh = synthetic.plane_patch(
+        nx=12, ny=12, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+    roots = []
+    for name in ("same-run", "resumed"):
+        root = tmp_path / name
+        subj = root / "sub-01"
+        subj.mkdir(parents=True)
+        io.write_ply(subj / "sub-01_reconstructed_surface.ply",
+                     np.asarray(mesh.points), np.asarray(mesh.triangles))
+        (subj / "sub-01_ieeg.json").write_text(
+            json.dumps({"SamplingFrequency": 512}))
+        _write_trial(subj / "run-001" / "T1", mesh)
+        roots.append(root)
+    cfg = PipelineConfig()
+    t0 = batch.discover_trials(roots[0])[0]
+    batch.run_trial(t0, cfg, stages=("flow", "winding"))
+    t1 = batch.discover_trials(roots[1])[0]
+    batch.run_trial(t1, cfg, stages=("flow",))
+    batch.run_trial(t1, cfg, stages=("winding",))  # resumes points from disk
+    name = batch.artifact_names(batch.trial_prefix(t0))["winding"]
+    a = io.load_pickle(t0.trial_dir / name)
+    b = io.load_pickle(t1.trial_dir / name)
+    assert list(a) == list(b)
+    for k in a:
+        assert len(a[k]) == len(b[k])
+        for ra, rb in zip(a[k], b[k]):
+            np.testing.assert_array_equal(ra[0], rb[0])
+            assert ra[1:] == rb[1:]
