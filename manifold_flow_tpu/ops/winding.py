@@ -333,7 +333,14 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
         fn = _analyze_movie_grid
     else:
         fn = _analyze_movie_slots
-    return fn(mesh, jnp.asarray(v_world), jnp.asarray(uniq_p),
+    # f64 velocity movies fall to f32 on TPU (emulated f64 runs this
+    # program 12x slower for bit-identical integer ring counts — the
+    # winding numbers are phase sums far from any rounding edge).
+    from manifold_flow_tpu.utils.precision import analysis_dtype
+
+    v = jnp.asarray(v_world)
+    v = v.astype(analysis_dtype(v.dtype))
+    return fn(mesh, v, jnp.asarray(uniq_p),
               jnp.asarray(u_idx), jnp.asarray(vmask), max_level=max_level)
 
 

@@ -280,23 +280,33 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                 else np.arange(n, dtype=np.float64))
 
     def get_velocity():
-        """v_world for S6/S7: from this run's flow stage, or reloaded (once)
-        from the V_k.csv artifact of a previous (resumed) run."""
+        """v_world for S3-S7 analysis: from this run's flow stage, or
+        reloaded (once) from the V_k.csv artifact of a previous (resumed)
+        run. Returned as ONE shared device array in the analysis dtype
+        (f32 on TPU) so the downstream stages neither refetch nor re-upload
+        the movie over the remote link, and none pays the 15-30x f64
+        emulation penalty."""
         nonlocal v_world_cache
-        if vel is not None:
-            return vel.v_world
         if v_world_cache is not None:
             return v_world_cache
-        if stage_done(trial, "flow", config) and "flow" not in todo:
+        import jax.numpy as jnp
+
+        from manifold_flow_tpu.utils.precision import analysis_dtype
+
+        if vel is not None:
+            v = jnp.asarray(vel.v_world)
+        elif stage_done(trial, "flow", config) and "flow" not in todo:
             from manifold_flow_tpu.geometry.mesh import pad_dof_field
             from manifold_flow_tpu.ops.recombine import velocity_to_world
 
             v_k = pad_dof_field(mesh, io.load_indexed_csv(d / names["v_k"]))
-            v_world_cache = np.asarray(velocity_to_world(v_k, mesh.basis))
-            return v_world_cache
-        raise RuntimeError(
-            f"{trial.key}: stage needs velocity fields but 'flow' neither "
-            "ran nor left artifacts; include 'flow' in stages")
+            v = jnp.asarray(velocity_to_world(v_k, mesh.basis))
+        else:
+            raise RuntimeError(
+                f"{trial.key}: stage needs velocity fields but 'flow' "
+                "neither ran nor left artifacts; include 'flow' in stages")
+        v_world_cache = v.astype(analysis_dtype(v.dtype))
+        return v_world_cache
 
     # One background writer per trial: artifact serialization (pandas CSV,
     # bz2 pickles) overlaps the next stage's device program instead of
@@ -330,7 +340,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                     v_k_path=d / names["v_k"],
                     speed_path=d / names["speed"], writer=writer)
                 sing_pts, _ = S.singularity_stage(
-                    mesh, vel.v_world, config,
+                    mesh, get_velocity(), config,
                     save_path=d / names["singularity"], writer=writer)
             elif s == "decompose":
                 if vel is not None:

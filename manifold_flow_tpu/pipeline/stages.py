@@ -168,10 +168,16 @@ class ConvergenceWarning(UserWarning):
 
 # ------------------------------------------------------------------- S3 ----
 class VelocityStage(NamedTuple):
-    v_k: np.ndarray        # (T-1, 2N)
-    e: np.ndarray          # (N, 2, 3)
-    v_world: np.ndarray    # (T-1, N, 3)
-    speed: np.ndarray      # (T-1, N) optical-flow wave-speed map (C12)
+    """v_k / v_world / speed are returned as DEVICE arrays (np.asarray
+    fetches on first use and jax caches the host copy): downstream stages
+    consume them on device, and fetching a movie-sized array over a remote
+    accelerator link costs ~30 ms/MB (measured) — the host copy should be
+    made only where host data is actually needed."""
+
+    v_k: "np.ndarray | object"      # (T-1, 2N)
+    e: np.ndarray                   # (N, 2, 3)
+    v_world: "np.ndarray | object"  # (T-1, N, 3)
+    speed: "np.ndarray | object"    # (T-1, N) optical-flow speed map (C12)
     iterations: int
     converged: bool
 
@@ -254,7 +260,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     speed = world_speed(v_world)
     # Artifacts stay unpadded (reference shapes) even when the in-memory
     # mesh is shape-bucketed; downstream in-memory stages keep the padded
-    # arrays so their shapes match the mesh.
+    # arrays so their shapes match the mesh. Only the artifact arrays are
+    # fetched to host here — v_k/v_world/speed return as device arrays.
     if e_path is not None:
         io.submit_write(writer, io.save_e_csv, e_path,
                         np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
@@ -265,10 +272,10 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         io.submit_write(writer, io.save_pickle, speed_path,
                         np.asarray(unpad_vertex_field(mesh, speed)))
     return VelocityStage(
-        v_k=np.asarray(res.v_k), e=np.asarray(mesh.basis),
-        v_world=np.asarray(v_world), speed=np.asarray(speed),
+        v_k=res.v_k, e=np.asarray(mesh.basis),
+        v_world=v_world, speed=speed,
         iterations=int(res.iterations),
-        converged=bool(np.all(np.asarray(res.converged))))
+        converged=bool(np.all(conv)))
 
 
 def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
@@ -284,16 +291,20 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     original left commented out (S3:145-156), realized here."""
     import jax.numpy as jnp
 
+    from manifold_flow_tpu.utils.precision import analysis_dtype
+
+    # f64 movies fall to f32 on TPU (emulated f64 is 15-30x slower there;
+    # detection thresholds sit at eps=1e-4, far above f32 rounding).
     v = jnp.asarray(v_world)
+    v = v.astype(analysis_dtype(v.dtype))
     field = sing_ops.detect(mesh, v, eps=config.solver.eps)
+    # Fixed per-frame capacity from a two-int device reduction (a full
+    # mask fetch costs ~1 MB over a remote link), shared by the device
+    # compaction and the classify program.
+    cap = sing_ops.compact_capacity(field)
     if classify:
-        # Classify only the detected candidates: size the fixed capacity
-        # from the detection masks (host-side) instead of computing
+        # Classify only the detected candidates instead of computing
         # Jacobians at every vertex/triangle of every frame.
-        vm = np.asarray(field.vertex_mask)
-        im = np.asarray(field.interior_mask)
-        cap = max(int(vm.sum(axis=1).max()), int(im.sum(axis=1).max()), 1)
-        cap = -(-cap // 8) * 8
         det = sing_ops.classify_detected(mesh, v, field, capacity=cap,
                                          quirks=config.reference_quirks)
         # ONE fetch per array: per-frame slices of device arrays each pay
@@ -314,7 +325,7 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
             code_maps.append(cm)
     points_per_frame = []
     labels_per_frame = []
-    compacted = sing_ops.compact_all(mesh, field)
+    compacted = sing_ops.compact_all(mesh, field, capacity=cap)
     for k in range(v.shape[0]):
         pts, kinds, ids = compacted[k]
         points_per_frame.append(pts)
@@ -382,14 +393,17 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     """S6: per-frame streamline sets {frame: [polyline, ...]}."""
     import jax.numpy as jnp
 
-    v = np.asarray(v_world)
+    # Device arrays stay on device; frame selection is a device slice.
+    v = jnp.asarray(v_world)
+    all_frames = frames is None
     frames = list(range(v.shape[0])) if frames is None else list(frames)
+    vsel = v if all_frames else v[jnp.asarray(np.asarray(frames))]
     # One device program traces every requested frame (per-frame dispatch
     # would pay the remote-accelerator call latency per frame); the adaptive
     # window keeps the gather volume proportional to the longest actual walk
     # rather than the configured cap.
     batched = stream_ops.trace_frames_adaptive(
-        mesh, jnp.asarray(v[np.asarray(frames)]),
+        mesh, vsel,
         max_steps=config.analysis.max_streamline_steps,
         quirks=config.reference_quirks)
     verts = np.asarray(batched.vertices)
@@ -424,9 +438,9 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
     """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}."""
     import jax.numpy as jnp
 
-    import jax
-
-    v = np.asarray(v_world)
+    # Device arrays stay on device (the movie would otherwise cross the
+    # remote link host-ward here just to be re-uploaded by the op).
+    v = jnp.asarray(v_world)
     n_frames = min(len(singularity_points), v.shape[0])
     caps = [len(singularity_points[t]) for t in range(n_frames)]
     smax = max(caps, default=0)
@@ -440,7 +454,10 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
         # One device program analyzes every frame at a common capacity
         # (per-frame dispatch would both pay the remote-call latency per
         # frame and recompile for each distinct singularity count).
-        pts_arr = np.zeros((n_frames, smax, 3), dtype=v.dtype)
+        # float64: these coordinates go into the winding artifact verbatim,
+        # so they keep the detection stage's precision regardless of the
+        # velocity movie's (possibly f32) analysis dtype.
+        pts_arr = np.zeros((n_frames, smax, 3), dtype=np.float64)
         valid = np.zeros((n_frames, smax), dtype=bool)
         for t in range(n_frames):
             if caps[t]:

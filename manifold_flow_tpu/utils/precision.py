@@ -46,6 +46,23 @@ def spectral_real_dtype(dtype):
     return jnp.dtype(dtype)
 
 
+def analysis_dtype(dtype):
+    """Real dtype for the S3-S7 analysis ops (detection, classification,
+    streamlines, winding): float64 falls to float32 on TPU, where f64 is
+    ~15-30x-slower emulation that also blocks fusion (measured on the
+    target chip: the winding movie program runs 592 ms in f64 vs 48 ms in
+    f32 with bit-identical ring counts and types). The analysis ops consume
+    a velocity field whose own solver error is ~1e-6 relative, so f32
+    rounding (~1e-7) is below the data's noise floor; threshold decisions
+    (detection eps=1e-4) sit orders of magnitude above either. CPU runs
+    keep the caller's dtype so oracle-parity tests are exact."""
+    import jax.numpy as jnp
+
+    if jnp.dtype(dtype) == jnp.float64 and on_tpu():
+        return jnp.dtype(jnp.float32)
+    return jnp.dtype(dtype)
+
+
 def complex_to_numpy(x):
     """Recombine HOST-side complex (or fetch a real device array) to numpy.
 

@@ -154,3 +154,39 @@ def test_classify_detected_matches_full():
     # Every detected candidate is covered at this capacity.
     assert int(np.asarray(field.vertex_mask).sum(axis=1).max()) <= 64
     assert int(np.asarray(field.interior_mask).sum(axis=1).max()) <= 64
+
+
+def test_compact_all_matches_full_mask_fetch():
+    """The device-side compaction (compact_detected) reproduces exactly the
+    lists a host-side np.where over the full masks produces — same ids,
+    same order (vertices first, ascending), same interior coordinates."""
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=10.0, ly=10.0,
+        height=lambda x, y: 0.3 * np.sin(0.9 * x) * np.cos(0.7 * y))
+    v3, _ = _field(mesh)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=1e-4)
+    got = singularity.compact_all(mesh, field)
+    vm = np.asarray(field.vertex_mask)
+    im = np.asarray(field.interior_mask)
+    ipts = np.asarray(field.interior_point)
+    pts = np.asarray(mesh.points)
+    assert len(got) == vm.shape[0]
+    for k, (rows, kinds, ids) in enumerate(got):
+        vid = np.where(vm[k])[0]
+        mid = np.where(im[k])[0]
+        assert ids == list(vid) + list(mid)
+        assert kinds == ["vertex"] * len(vid) + ["interior"] * len(mid)
+        np.testing.assert_allclose(
+            rows, np.concatenate([pts[vid], ipts[k][mid]], axis=0))
+
+
+def test_compact_capacity_buckets_to_eight():
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=10.0, ly=10.0,
+        height=lambda x, y: 0.3 * np.sin(0.9 * x) * np.cos(0.7 * y))
+    v3, _ = _field(mesh)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=1e-4)
+    cap = singularity.compact_capacity(field)
+    assert cap % 8 == 0
+    vc, ic = singularity.detection_counts(field)
+    assert cap >= max(int(vc), int(ic), 1)

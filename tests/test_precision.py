@@ -44,3 +44,16 @@ def test_complex_to_numpy_paths(monkeypatch):
         precision.complex_to_numpy(zc)
     # Host numpy complex stays allowed even "on TPU".
     np.testing.assert_array_equal(precision.complex_to_numpy(z), z)
+
+
+def test_analysis_dtype_policy(monkeypatch):
+    import jax.numpy as jnp
+
+    # CPU: caller dtype passes through (oracle parity tests stay exact).
+    assert precision.analysis_dtype(jnp.float64) == jnp.dtype(jnp.float64)
+    assert precision.analysis_dtype(jnp.float32) == jnp.dtype(jnp.float32)
+    # TPU: f64 falls to f32 (emulated f64 runs the winding movie program
+    # 12x slower for bit-identical ring counts, measured on chip).
+    monkeypatch.setattr(precision, "on_tpu", lambda: True)
+    assert precision.analysis_dtype(jnp.float64) == jnp.dtype(jnp.float32)
+    assert precision.analysis_dtype(jnp.float32) == jnp.dtype(jnp.float32)
