@@ -406,25 +406,13 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         mesh, vsel,
         max_steps=config.analysis.max_streamline_steps,
         quirks=config.reference_quirks)
-    verts = np.asarray(batched.vertices)
-    lens = np.asarray(batched.lengths)
-    ov_ids = ov_v = None
-    if batched.overlay_ids is not None:
-        ov_ids = np.asarray(batched.overlay_ids)   # flat frame*N + vertex
-        # One device fetch; rows past len(ov_ids) are capacity padding.
-        ov_v = np.asarray(batched.overlay_vertices)[: len(ov_ids)]
-    n = verts.shape[1]
+    # compact_frames fetches only the rows that reach min_length (~13% at
+    # reference scale) — the walk arrays stay on device otherwise.
+    per_frame = stream_ops.compact_frames(
+        mesh, batched, min_length=config.analysis.min_streamline_length)
     out = {}
     for i, k in enumerate(frames):
-        if ov_ids is None:
-            sl = stream_ops.Streamlines(vertices=verts[i], lengths=lens[i])
-        else:
-            m = (ov_ids // n) == i
-            sl = stream_ops.Streamlines(
-                vertices=verts[i], lengths=lens[i],
-                overlay_ids=ov_ids[m] % n, overlay_vertices=ov_v[m])
-        lines = stream_ops.compact(
-            mesh, sl, min_length=config.analysis.min_streamline_length)
+        lines = per_frame[i]
         out[str(k)] = lines
         if save_path_fmt is not None:
             path = save_path_fmt.format(frame=k)

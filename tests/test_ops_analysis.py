@@ -589,6 +589,42 @@ def test_streamline_stage_overlay_polylines(source_setup):
             np.testing.assert_array_equal(a, b)
 
 
+def test_compact_frames_matches_per_frame_compact(source_setup):
+    """compact_frames (filtered device fetch) returns exactly the per-frame
+    compact() line sets, overlay stitching included."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:2])
+    ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                           initial_window=2)
+    got = streamline.compact_frames(mesh, ada, min_length=4)
+    n = mesh.n_vertices
+    ov_ids = np.asarray(ada.overlay_ids)
+    ov_v = np.asarray(ada.overlay_vertices)[: len(ov_ids)]
+    for t in range(2):
+        m = (ov_ids // n) == t
+        sl = streamline.Streamlines(
+            vertices=np.asarray(ada.vertices)[t],
+            lengths=np.asarray(ada.lengths)[t],
+            overlay_ids=ov_ids[m] % n, overlay_vertices=ov_v[m])
+        want = streamline.compact(mesh, sl, min_length=4)
+        assert len(got[t]) == len(want)
+        for a, b in zip(got[t], want):
+            np.testing.assert_array_equal(a, b)
+
+    # No-overlay movies take the pure base-row path.
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    got_full = streamline.compact_frames(mesh, full, min_length=4)
+    for t in range(2):
+        want = streamline.compact(
+            mesh,
+            streamline.Streamlines(vertices=np.asarray(full.vertices)[t],
+                                   lengths=np.asarray(full.lengths)[t]),
+            min_length=4)
+        assert len(got_full[t]) == len(want)
+        for a, b in zip(got_full[t], want):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_streamline_quirk_changes_boundary_walks():
     """The two modes must actually differ somewhere on a boundary-heavy
     random field (otherwise the quirk flag tests nothing) — and the quirk
