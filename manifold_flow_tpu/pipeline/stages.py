@@ -166,6 +166,25 @@ class ConvergenceWarning(UserWarning):
     """A velocity-solve frame failed its residual tolerance."""
 
 
+def _start_host_copy(arr):
+    """Begin an async device->host copy if `arr` is a device array: the
+    transfer overlaps subsequent device compute, and a later np.asarray
+    (e.g. in an ArtifactWriter worker) completes without issuing a fetch
+    that would contend with new dispatches on a remote backend."""
+    start = getattr(arr, "copy_to_host_async", None)
+    if start is not None:
+        try:
+            start()
+        except Exception:  # pragma: no cover - backend without async copy
+            pass
+
+
+def _save_pickle_np(path, arr):
+    """save_pickle with the array materialized to host numpy first (a raw
+    jax.Array must not be pickled into reference-format artifacts)."""
+    io.save_pickle(path, np.asarray(arr))
+
+
 # ------------------------------------------------------------------- S3 ----
 class VelocityStage(NamedTuple):
     """v_k / v_world / speed are returned as DEVICE arrays (np.asarray
@@ -222,6 +241,10 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                   and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
 
     res = run(method)
+    # Dispatch the recombination before the convergence fetch blocks: the
+    # device pipeline keeps working while the (T,) flags cross the link.
+    v_world = velocity_to_world(res.v_k, mesh.basis)
+    speed = world_speed(v_world)
     conv = np.asarray(res.converged)
     if not conv.all():
         bad = np.where(~conv)[0]
@@ -244,6 +267,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                 f"{len(bad)} frame(s) [{detail}]; escalating to the refined "
                 "two-float32 solver", ConvergenceWarning, stacklevel=2)
             res = run("refined")
+            v_world = velocity_to_world(res.v_k, mesh.basis)
+            speed = world_speed(v_world)
             conv = np.asarray(res.converged)
         if not conv.all():
             bad = np.where(~conv)[0]
@@ -256,21 +281,25 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                 f"{len(bad)} frame(s) [{detail}]; downstream singularity/"
                 "streamline/winding artifacts may be unreliable — raise "
                 "max_iter or loosen tol", ConvergenceWarning, stacklevel=2)
-    v_world = velocity_to_world(res.v_k, mesh.basis)
-    speed = world_speed(v_world)
     # Artifacts stay unpadded (reference shapes) even when the in-memory
     # mesh is shape-bucketed; downstream in-memory stages keep the padded
-    # arrays so their shapes match the mesh. Only the artifact arrays are
-    # fetched to host here — v_k/v_world/speed return as device arrays.
+    # arrays so their shapes match the mesh. Only the artifact arrays
+    # cross to the host, and their device->host copies start ASYNC here —
+    # the transfer rides the next stage's device compute, and the writer
+    # worker's np.asarray just waits on the already-running copy instead
+    # of issuing one that contends with new dispatches (measured: the
+    # serial fetch cost ~230 ms of the flow stage wall).
     if e_path is not None:
         io.submit_write(writer, io.save_e_csv, e_path,
                         np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
     if v_k_path is not None:
-        io.submit_write(writer, io.save_indexed_csv, v_k_path,
-                        np.asarray(unpad_dof_field(mesh, res.v_k)))
+        vk_art = unpad_dof_field(mesh, res.v_k)
+        _start_host_copy(vk_art)
+        io.submit_write(writer, io.save_indexed_csv, v_k_path, vk_art)
     if speed_path is not None:
-        io.submit_write(writer, io.save_pickle, speed_path,
-                        np.asarray(unpad_vertex_field(mesh, speed)))
+        sp_art = unpad_vertex_field(mesh, speed)
+        _start_host_copy(sp_art)
+        io.submit_write(writer, _save_pickle_np, speed_path, sp_art)
     return VelocityStage(
         v_k=res.v_k, e=np.asarray(mesh.basis),
         v_world=v_world, speed=speed,
@@ -367,11 +396,13 @@ def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
 
 # ------------------------------------------------------------------- S5 ----
 def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
-                    save_path=None, writer=None) -> np.ndarray:
+                    save_path=None, writer=None):
     """S5: wave speeds from an amplitude or phase movie (T, N).
 
     On a padded mesh, an unpadded movie is zero-extended for the device
-    compute and the result (incl. the artifact) is returned unpadded."""
+    compute and the result (incl. the artifact) is returned unpadded, as a
+    device array whose host copy is already in flight (np.asarray to
+    materialize)."""
     import jax.numpy as jnp
 
     m = jnp.asarray(pad_vertex_field(mesh, movie))
@@ -381,9 +412,10 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
         ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
     else:
         raise ValueError(f"unknown wavespeed method {method!r}")
-    ws = np.asarray(unpad_vertex_field(mesh, ws))
+    ws = unpad_vertex_field(mesh, ws)
+    _start_host_copy(ws)
     if save_path is not None:
-        io.submit_write(writer, io.save_pickle, save_path, ws)
+        io.submit_write(writer, _save_pickle_np, save_path, ws)
     return ws
 
 

@@ -279,10 +279,11 @@ class ArtifactWriter:
     order, so submitters must target distinct paths (stage artifacts do).
     `wait()` drains the queue and re-raises the first failure; the context
     manager calls it on exit, so a trial cannot report success with writes
-    still pending. Callers must pass
-    host (numpy) data — submitting device arrays would move the
-    device->host fetch into the worker, serializing it against the main
-    thread's dispatches on a remote backend.
+    still pending. Callers must pass host (numpy) data OR device arrays
+    whose device->host copy has already been STARTED
+    (`copy_to_host_async`, see pipeline.stages._start_host_copy) — a cold
+    device array would make the worker issue a fetch that serializes
+    against the main thread's dispatches on a remote backend.
     """
 
     def __init__(self, workers: int = 1):
