@@ -363,6 +363,18 @@ def detection_counts(field: SingularityField):
             field.interior_mask.sum(axis=1).max().astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("eps",))
+def detect_with_counts(mesh: TriMesh, v_world: jnp.ndarray,
+                       eps: float = 1e-4):
+    """detect + detection_counts fused into ONE device program: on a
+    remote accelerator each dispatch pays ~28 ms of call latency, and the
+    pipeline stage always needs both. The counts come back as one (2,)
+    array so the host pays a single scalar-fetch round trip."""
+    field = detect(mesh, v_world, eps=eps)
+    vc, ic = detection_counts(field)
+    return field, jnp.stack([vc, ic])
+
+
 class CompactDetections(NamedTuple):
     """Detections compacted to `capacity` slots per frame (device-side)."""
 

@@ -326,11 +326,13 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     # detection thresholds sit at eps=1e-4, far above f32 rounding).
     v = jnp.asarray(v_world)
     v = v.astype(analysis_dtype(v.dtype))
-    field = sing_ops.detect(mesh, v, eps=config.solver.eps)
-    # Fixed per-frame capacity from a two-int device reduction (a full
-    # mask fetch costs ~1 MB over a remote link), shared by the device
-    # compaction and the classify program.
-    cap = sing_ops.compact_capacity(field)
+    # One fused device program + one two-int fetch: the capacity sizing
+    # (a full mask fetch would cost ~1 MB over a remote link) is shared by
+    # the device compaction and the classify program.
+    field, counts = sing_ops.detect_with_counts(mesh, v,
+                                                eps=config.solver.eps)
+    counts = np.asarray(counts)
+    cap = -(-max(int(counts[0]), int(counts[1]), 1) // 8) * 8
     if classify:
         # Classify only the detected candidates instead of computing
         # Jacobians at every vertex/triangle of every frame.
