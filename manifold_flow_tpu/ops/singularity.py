@@ -436,6 +436,9 @@ def compact_all(mesh: TriMesh, field: SingularityField,
     if capacity is None:
         capacity = compact_capacity(field)
     det = compact_detected(field, capacity=capacity)
+    from manifold_flow_tpu.utils.io import start_host_copy
+
+    start_host_copy(*det)  # pipeline the five small fetches over the link
     vid = np.asarray(det.vertex_ids)
     vok = np.asarray(det.vertex_valid)
     iid = np.asarray(det.interior_ids)

@@ -166,17 +166,10 @@ class ConvergenceWarning(UserWarning):
     """A velocity-solve frame failed its residual tolerance."""
 
 
-def _start_host_copy(arr):
-    """Begin an async device->host copy if `arr` is a device array: the
-    transfer overlaps subsequent device compute, and a later np.asarray
-    (e.g. in an ArtifactWriter worker) completes without issuing a fetch
-    that would contend with new dispatches on a remote backend."""
-    start = getattr(arr, "copy_to_host_async", None)
-    if start is not None:
-        try:
-            start()
-        except Exception:  # pragma: no cover - backend without async copy
-            pass
+# The transfer overlaps subsequent device compute, and a later np.asarray
+# (e.g. in an ArtifactWriter worker) completes without issuing a fetch
+# that would contend with new dispatches on a remote backend.
+_start_host_copy = io.start_host_copy
 
 
 def _save_pickle_np(path, arr):
@@ -341,6 +334,7 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         # ONE fetch per array: per-frame slices of device arrays each pay
         # an eager dispatch + transfer on a remote accelerator (measured:
         # this loop's per-frame formulation dominated the flow stage).
+        io.start_host_copy(*det)
         cols = [(np.asarray(ids), np.asarray(valid), np.asarray(codes), kind)
                 for ids, valid, codes, kind in (
                     (det.vertex_ids, det.vertex_valid, det.vertex_codes,
@@ -490,6 +484,7 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
         res = wind_ops.analyze_singularities_movie(
             mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
             max_level=config.analysis.max_winding_level)
+        io.start_host_copy(res.counts, res.types)
         counts = np.asarray(res.counts)
         types = np.asarray(res.types)
         winding_lines = {}

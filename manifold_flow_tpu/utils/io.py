@@ -261,6 +261,21 @@ def ensure_dir(path):
     return path
 
 
+def start_host_copy(*arrays):
+    """Begin async device->host copies for any device arrays among
+    `arrays` (no-op for numpy). Starting every copy before the first
+    blocking np.asarray lets the transfers pipeline over a remote
+    accelerator link instead of paying one round trip per array; callers
+    then materialize with np.asarray in any order."""
+    for a in arrays:
+        start = getattr(a, "copy_to_host_async", None)
+        if start is not None:
+            try:
+                start()
+            except Exception:  # pragma: no cover - backend without async
+                pass
+
+
 # ----------------------------------------------------- background writer ----
 class ArtifactWriter:
     """Background artifact writer: overlaps host-side serialization with
