@@ -358,9 +358,13 @@ def detection_counts(field: SingularityField):
 
     Sizing a fixed capacity from the full masks costs a ~1 MB fetch at
     reference scale on a remote accelerator; this program reduces on
-    device so the host fetches two ints."""
-    return (field.vertex_mask.sum(axis=1).max().astype(jnp.int32),
-            field.interior_mask.sum(axis=1).max().astype(jnp.int32))
+    device so the host fetches two ints. `initial=0` keeps a degenerate
+    0-frame movie (e.g. a single-frame input upstream) well-defined:
+    zero candidates, not a reduction-over-empty-axis error."""
+    return (jnp.max(field.vertex_mask.sum(axis=1),
+                    initial=0).astype(jnp.int32),
+            jnp.max(field.interior_mask.sum(axis=1),
+                    initial=0).astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("eps",))

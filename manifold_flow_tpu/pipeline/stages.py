@@ -130,30 +130,33 @@ def interpolate_stage(mesh: TriMesh, electrode_coords, electrode_data,
     """
     import jax.numpy as jnp
 
-    data = np.asarray(electrode_data)
-    if sfreq is not None:
+    def window(movie):
+        """ONE windowing site for both branches (phases must window AFTER
+        the Hilbert transform — truncating the time series first would
+        change every frame's analytic signal)."""
+        if sfreq is None:
+            return movie
         s = int(config.interpolation.start_time * sfreq)
         e = int(config.interpolation.end_time * sfreq)
-        data = data[s:e]
+        return movie[s:e]
+
+    data = np.asarray(electrode_data)
     if phases:
         # Both device programs here are real-in/real-out: the complex
         # analytic signal and the complex unit-circle RBF values exist only
         # INSIDE compiled programs — this TPU backend cannot move complex
         # buffers across the host boundary (utils.precision).
         hilbert_axis = -1 if config.reference_quirks else 0
-        phi = np.asarray(phase_ops.instantaneous_phase(
-            jnp.asarray(np.asarray(electrode_data)), axis=hilbert_axis))
-        if sfreq is not None:
-            s = int(config.interpolation.start_time * sfreq)
-            e = int(config.interpolation.end_time * sfreq)
-            phi = phi[s:e]
+        phi = window(np.asarray(phase_ops.instantaneous_phase(
+            jnp.asarray(data), axis=hilbert_axis)))
         out = np.asarray(rbf_ops.rbf_interpolate_phases(
             jnp.asarray(np.asarray(electrode_coords)), jnp.asarray(phi),
             mesh.points, smooth=config.interpolation.smooth,
             kind=config.interpolation.kind))
     else:
         out = np.asarray(rbf_ops.rbf_interpolate(
-            jnp.asarray(np.asarray(electrode_coords)), jnp.asarray(data),
+            jnp.asarray(np.asarray(electrode_coords)),
+            jnp.asarray(window(data)),
             mesh.points, smooth=config.interpolation.smooth,
             kind=config.interpolation.kind))
     if save_path is not None:
@@ -470,9 +473,10 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
         # One device program analyzes every frame at a common capacity
         # (per-frame dispatch would both pay the remote-call latency per
         # frame and recompile for each distinct singularity count).
-        # float64: these coordinates go into the winding artifact verbatim,
-        # so they keep the detection stage's precision regardless of the
-        # velocity movie's (possibly f32) analysis dtype.
+        # float64 buffer: these coordinates go into the winding artifact
+        # verbatim, at whatever precision the detection stage emitted them
+        # (f64 on CPU; f32 on TPU, where detection itself runs in the f32
+        # analysis dtype — see utils.precision.analysis_dtype).
         pts_arr = np.zeros((n_frames, smax, 3), dtype=np.float64)
         valid = np.zeros((n_frames, smax), dtype=bool)
         for t in range(n_frames):

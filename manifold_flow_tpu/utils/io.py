@@ -272,7 +272,11 @@ def start_host_copy(*arrays):
         if start is not None:
             try:
                 start()
-            except Exception:  # pragma: no cover - backend without async
+            # Only "this backend lacks async copies" is ignorable; a genuine
+            # transfer failure must surface HERE (with the calling stage on
+            # the stack), not later inside an ArtifactWriter worker where the
+            # originating context is gone.
+            except (AttributeError, NotImplementedError):  # pragma: no cover
                 pass
 
 

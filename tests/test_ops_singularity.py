@@ -180,6 +180,16 @@ def test_compact_all_matches_full_mask_fetch():
             rows, np.concatenate([pts[vid], ipts[k][mid]], axis=0))
 
 
+def test_detection_counts_empty_movie():
+    """A degenerate 0-frame movie (single-frame input upstream) yields zero
+    counts instead of a reduction-over-empty-axis error (ADVICE r3)."""
+    mesh = synthetic.plane_patch(nx=6, ny=6, lx=4.0, ly=4.0)
+    v0 = jnp.zeros((0, mesh.n_vertices, 3))
+    field, counts = singularity.detect_with_counts(mesh, v0)
+    assert [int(c) for c in np.asarray(counts)] == [0, 0]
+    assert field.vertex_mask.shape[0] == 0
+
+
 def test_compact_capacity_buckets_to_eight():
     mesh = synthetic.plane_patch(
         nx=16, ny=16, lx=10.0, ly=10.0,

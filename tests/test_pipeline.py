@@ -393,3 +393,41 @@ def test_interpolate_stage_phases_quirk_axis(demo_problem):
             mesh.points)))
         np.testing.assert_allclose(outs[quirk], want, rtol=1e-7, atol=1e-9)
     assert not np.allclose(outs[False], outs[True])
+
+
+def test_interpolate_stage_windows_agree(demo_problem):
+    """With sfreq set, potentials and phases branches apply ONE window
+    [start_time, end_time) to the same frames — and the phases window cuts
+    the Hilbert OUTPUT, not its input (the analytic signal sees the whole
+    recording, as in S2_interpolate_phases.py)."""
+    import jax.numpy as jnp
+    import scipy.signal
+
+    from manifold_flow_tpu.ops import interpolate as rbf_ops
+
+    mesh, _, _, _ = demo_problem
+    rng = np.random.default_rng(7)
+    sel = rng.choice(mesh.n_vertices, 10, replace=False)
+    coords = np.asarray(mesh.points)[sel]
+    t = np.linspace(0.0, 1.0, 32)
+    data = (np.sin(2 * np.pi * 4 * t)[:, None]
+            + 0.2 * rng.normal(size=(32, 10)))
+
+    cfg = PipelineConfig()
+    sfreq = 16.0
+    cfg.interpolation.start_time = 0.25
+    cfg.interpolation.end_time = 1.0
+    s = int(cfg.interpolation.start_time * sfreq)
+    e = int(cfg.interpolation.end_time * sfreq)
+
+    pot = stages.interpolate_stage(mesh, coords, data, cfg, sfreq=sfreq)
+    pha = stages.interpolate_stage(mesh, coords, data, cfg, sfreq=sfreq,
+                                   phases=True)
+    assert pot.shape[0] == pha.shape[0] == e - s
+    pot_full = stages.interpolate_stage(mesh, coords, data, cfg)
+    np.testing.assert_allclose(pot, pot_full[s:e], rtol=1e-12)
+    # Hilbert over the FULL series, then the same [s:e) window.
+    phi = np.angle(scipy.signal.hilbert(data, axis=0))[s:e]
+    want = np.angle(np.asarray(rbf_ops.rbf_interpolate(
+        jnp.asarray(coords), jnp.asarray(np.exp(1j * phi)), mesh.points)))
+    np.testing.assert_allclose(pha, want, rtol=1e-7, atol=1e-9)
