@@ -485,39 +485,21 @@ def bench_trial(mesh, pot, times):
         cache: dict = {}
         batch.run_trial(trial, cfg, mesh_cache=cache)  # compile + warmup
 
-        # Capture the per-stage wall times the batch driver logs, so the
-        # stage budget (flow/decompose/wavespeed/streamline/winding + the
-        # writer drain tail) is a recorded fact per round.
-        import logging as _logging
-        import re as _re
-
+        # Per-stage wall times + the flow sub-breakdown come straight from
+        # run_trial's timings dict (recorded facts, not scraped log lines).
         stage_walls: dict = {}
-
-        class _StageGrab(_logging.Handler):
-            def emit(self, record):
-                m = _re.search(r"(\w+) done in ([0-9.]+)s",
-                               record.getMessage())
-                if m:
-                    stage_walls[m.group(1)] = float(m.group(2))
-
-        grab = _StageGrab()
-        blog = _logging.getLogger("manifold_flow_tpu.pipeline.batch")
-        old_level = blog.level
-        blog.addHandler(grab)
-        blog.setLevel(_logging.INFO)
-        try:
-            t0 = time.perf_counter()
-            res = batch.run_trial(trial, cfg, overwrite=True,
-                                  mesh_cache=cache)
-            dt = time.perf_counter() - t0
-        finally:
-            blog.removeHandler(grab)
-            blog.setLevel(old_level)
+        t0 = time.perf_counter()
+        res = batch.run_trial(trial, cfg, overwrite=True,
+                              mesh_cache=cache, timings=stage_walls)
+        dt = time.perf_counter() - t0
+        flow_detail = stage_walls.pop("flow_detail", {})
         res3 = batch.run_trial(trial, cfg, mesh_cache=cache)
         return {
             "trial_seconds": round(dt, 2),
             "trial_stage_seconds": {k: round(v, 2)
                                     for k, v in stage_walls.items()},
+            "trial_flow_detail": {k: round(v, 3)
+                                  for k, v in flow_detail.items()},
             "trial_drain_seconds": round(
                 max(0.0, dt - sum(stage_walls.values())), 2),
             "trial_ok": all(v == "done" for v in res.values()),

@@ -211,10 +211,16 @@ def stage_done(trial: TrialRef, stage: str, config=None) -> bool:
 
 def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
               sfreq: float | None = None, overwrite: bool = False,
-              mesh_cache: dict | None = None, cache_dir=None) -> dict:
+              mesh_cache: dict | None = None, cache_dir=None,
+              timings: dict | None = None) -> dict:
     """Run the requested device stages for one trial; returns
     {stage: 'done' | 'skipped'}. Stage inputs flow in memory; artifacts land
-    in the trial directory in the reference's formats."""
+    in the trial directory in the reference's formats.
+
+    `timings`, when given, receives wall seconds per executed stage plus a
+    'flow_detail' sub-breakdown (movie CSV load, solve dispatch/wait,
+    artifact-fetch starts, detection) — the recorded fact the bench reports,
+    instead of scraping this module's log lines (ADVICE r3)."""
     from manifold_flow_tpu.pipeline import stages as S
     from manifold_flow_tpu.utils import io
 
@@ -331,17 +337,24 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
         for s in todo:
             t0 = time.perf_counter()
             if s == "flow":
+                detail: dict = {}
                 m = get_movie()
+                detail["movie_load"] = time.perf_counter() - t0
                 vel = S.velocity_stage(
                     mesh, m, get_times(m.shape[0]), config,
                     # S3:46 writes e per subject: {subfolder}_e.csv.
                     e_path=(trial.surface_path.parent
                             / f"{trial.subject}_e.csv"),
                     v_k_path=d / names["v_k"],
-                    speed_path=d / names["speed"], writer=writer)
+                    speed_path=d / names["speed"], writer=writer,
+                    timings=detail)
+                t_det = time.perf_counter()
                 sing_pts, _ = S.singularity_stage(
                     mesh, get_velocity(), config,
                     save_path=d / names["singularity"], writer=writer)
+                detail["detect"] = time.perf_counter() - t_det
+                if timings is not None:
+                    timings["flow_detail"] = detail
             elif s == "decompose":
                 if vel is not None:
                     from manifold_flow_tpu.geometry.mesh import (
@@ -393,8 +406,10 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
             else:
                 raise ValueError(f"unknown batch stage {s!r}")
             result[s] = "done"
-            logger.info("batch: %s %s done in %.2fs", trial.key, s,
-                        time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            if timings is not None:
+                timings[s] = wall
+            logger.info("batch: %s %s done in %.2fs", trial.key, s, wall)
     return result
 
 

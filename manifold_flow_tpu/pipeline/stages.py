@@ -199,14 +199,22 @@ class VelocityStage(NamedTuple):
 
 def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                    e_path=None, v_k_path=None, speed_path=None,
-                   device_mesh=None, writer=None) -> VelocityStage:
+                   device_mesh=None, writer=None,
+                   timings: dict | None = None) -> VelocityStage:
     """S3 core: velocity fields + recombination + speed map (+ artifacts).
 
     Non-convergence is loud: any frame still above `tol` at `max_iter` is
     reported by index and residual via warnings.warn, and (solver.escalate,
     default on) the movie is re-solved with the refined two-float32 method —
     one bad frame would otherwise quietly corrupt every downstream artifact.
+
+    `timings`, when given, receives sub-wall seconds: 'dispatch' (building +
+    launching the device program), 'solve_wait' (blocking on the converged
+    flags — i.e. the device solve itself), 'artifact_starts' (unpadding +
+    async-fetch starts + writer submits).
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -236,12 +244,18 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         method = ("refined" if on_accelerator
                   and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
 
+    t0 = _time.perf_counter()
     res = run(method)
     # Dispatch the recombination before the convergence fetch blocks: the
     # device pipeline keeps working while the (T,) flags cross the link.
     v_world = velocity_to_world(res.v_k, mesh.basis)
     speed = world_speed(v_world)
+    t1 = _time.perf_counter()
     conv = np.asarray(res.converged)
+    t2 = _time.perf_counter()
+    if timings is not None:
+        timings["dispatch"] = t1 - t0
+        timings["solve_wait"] = t2 - t1
     if not conv.all():
         bad = np.where(~conv)[0]
         resid = np.asarray(res.residual)[bad]
@@ -285,6 +299,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     # worker's np.asarray just waits on the already-running copy instead
     # of issuing one that contends with new dispatches (measured: the
     # serial fetch cost ~230 ms of the flow stage wall).
+    t3 = _time.perf_counter()
     if e_path is not None:
         io.submit_write(writer, io.save_e_csv, e_path,
                         np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
@@ -296,6 +311,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         sp_art = unpad_vertex_field(mesh, speed)
         _start_host_copy(sp_art)
         io.submit_write(writer, _save_pickle_np, speed_path, sp_art)
+    if timings is not None:
+        timings["artifact_starts"] = _time.perf_counter() - t3
     return VelocityStage(
         v_k=res.v_k, e=np.asarray(mesh.basis),
         v_world=v_world, speed=speed,

@@ -115,6 +115,29 @@ def test_run_batch_full_then_resume(results_tree):
         assert set(st.values()) == {"skipped"}, (key, st)
 
 
+def test_run_trial_records_timings(results_tree):
+    """run_trial fills the caller's timings dict directly (one wall per
+    executed stage + a flow sub-breakdown) — the bench consumes this
+    instead of scraping log lines (ADVICE r3)."""
+    root, _ = results_tree
+    cfg = PipelineConfig()
+    trial = batch.discover_trials(root)[0]
+    timings: dict = {}
+    res = batch.run_trial(trial, cfg, overwrite=True, timings=timings)
+    assert all(v == "done" for v in res.values())
+    for s in batch.DEVICE_STAGES:
+        assert timings[s] >= 0.0, s
+    detail = timings["flow_detail"]
+    for k in ("movie_load", "dispatch", "solve_wait", "artifact_starts",
+              "detect"):
+        assert detail[k] >= 0.0, k
+    # Skipped stages record nothing.
+    t2: dict = {}
+    res2 = batch.run_trial(trial, cfg, timings=t2)
+    assert all(v == "skipped" for v in res2.values())
+    assert t2 == {}
+
+
 def test_run_batch_sharded_and_stage_subset(results_tree, tmp_path):
     root, _ = results_tree
     cfg = PipelineConfig()
