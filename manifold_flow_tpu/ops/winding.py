@@ -262,11 +262,16 @@ def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
 
 
 def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
-                                max_level: int = 25) -> WindingResult:
+                                max_level: int = 25,
+                                centers=None) -> WindingResult:
     """Winding analysis of the whole movie in one device program.
 
     points: (T, S, 3) fixed-capacity singularity coordinates per frame;
     valid: (T, S); returns a WindingResult with (T, S) leading dims.
+    `centers` (T, S) optionally supplies the snapped center vertex per
+    slot (the detection stage computes them on device for free,
+    singularity.compact_detected) — the host GEMM snap below is then
+    skipped entirely.
 
     Singularities persist across frames (the same source/saddle drifts
     slowly), so the T*S queries snap to only a handful of DISTINCT center
@@ -291,19 +296,24 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
             counts=jnp.zeros(shape, jnp.int32),
             types=jnp.zeros(shape, jnp.int32),
             winding_numbers=jnp.zeros(shape + (max_level,), jnp.float32))
-    # Host-side snap via the GEMM distance expansion: argmin_p |q - p|^2 =
-    # argmin_p (|p|^2 - 2 q.p), the |q|^2 row constant dropped. Float32
-    # throughout — this host class is 2-core with ~20x slower f64, and the
-    # naive (T*S, N, 3) broadcast costs hundreds of ms at reference scale
-    # vs ~10 ms here. f32 scoring resolves the argmin safely: competing
-    # vertices differ by O(edge length^2) while the f32 error is
-    # ~eps * |coords|^2, orders of magnitude smaller.
-    pts32 = pts.astype(np.float32)
-    q32 = q.reshape(-1, 3).astype(np.float32)
-    pn = (pts32 * pts32).sum(-1)
-    pn[int(mesh.valid_vertices):] = np.inf
-    score = pn[None, :] - 2.0 * (q32 @ pts32.T)
-    centers = score.argmin(axis=1).astype(np.int32).reshape(t, s)
+    if centers is not None:
+        centers = np.asarray(centers, dtype=np.int32).reshape(t, s)
+    else:
+        # Host-side snap fallback (resume paths whose singularity points
+        # come from a pickle without centers) via the GEMM distance
+        # expansion: argmin_p |q - p|^2 = argmin_p (|p|^2 - 2 q.p), the
+        # |q|^2 row constant dropped. Float32 throughout — this host class
+        # is 2-core with ~20x slower f64, and the naive (T*S, N, 3)
+        # broadcast costs hundreds of ms at reference scale vs ~10 ms
+        # here. f32 scoring resolves the argmin safely: competing vertices
+        # differ by O(edge length^2) while the f32 error is
+        # ~eps * |coords|^2, orders of magnitude smaller.
+        pts32 = pts.astype(np.float32)
+        q32 = q.reshape(-1, 3).astype(np.float32)
+        pn = (pts32 * pts32).sum(-1)
+        pn[int(mesh.valid_vertices):] = np.inf
+        score = pn[None, :] - 2.0 * (q32 @ pts32.T)
+        centers = score.argmin(axis=1).astype(np.int32).reshape(t, s)
 
     uniq = np.unique(centers[vmask])
     u_cap = max(-(-len(uniq) // 8) * 8, 8)

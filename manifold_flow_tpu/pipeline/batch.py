@@ -249,6 +249,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     movie = None
     vel = None
     sing_pts = None
+    sing_centers = None
     v_world_cache = None
     sfreq_cache = [sfreq, sfreq is not None]
 
@@ -349,9 +350,10 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                     speed_path=d / names["speed"], writer=writer,
                     timings=detail)
                 t_det = time.perf_counter()
-                sing_pts, _ = S.singularity_stage(
+                sing_pts, _, sing_centers = S.singularity_stage(
                     mesh, get_velocity(), config,
-                    save_path=d / names["singularity"], writer=writer)
+                    save_path=d / names["singularity"], writer=writer,
+                    return_centers=True)
                 detail["detect"] = time.perf_counter() - t_det
                 if timings is not None:
                     timings["flow_detail"] = detail
@@ -394,15 +396,16 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                     save_path_fmt=str(d / names["streamline_fmt"]),
                     writer=writer)
             elif s == "winding":
-                # This run's detection pass hands its points over in memory
-                # (the pickle may still be queued on the writer); a resumed
-                # run reads the artifact of the previous one.
+                # This run's detection pass hands its points (and snapped
+                # centers) over in memory (the pickle may still be queued on
+                # the writer); a resumed run reads the artifact of the
+                # previous one and re-snaps on the host.
                 pts = ([list(p) for p in sing_pts]
                        if sing_pts is not None
                        else io.load_pickle(d / names["singularity"]))
                 S.winding_stage(mesh, get_velocity(), pts, config,
                                 save_path=d / names["winding"],
-                                writer=writer)
+                                writer=writer, centers=sing_centers)
             else:
                 raise ValueError(f"unknown batch stage {s!r}")
             result[s] = "done"

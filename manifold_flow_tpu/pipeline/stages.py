@@ -322,7 +322,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
 
 def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
                       classify: bool = False, save_path=None,
-                      classification_path=None, writer=None):
+                      classification_path=None, writer=None,
+                      return_centers: bool = False):
     """S3 detection: per-frame singularity lists (+ classification).
 
     Returns (points_per_frame, labels_per_frame) where labels are
@@ -330,7 +331,11 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     (find_singularity_point.py:760-761). `classification_path` writes the
     per-frame label lists — the artifact the reference's config names
     (singularity_points_classification_path, config.yaml) whose write the
-    original left commented out (S3:145-156), realized here."""
+    original left commented out (S3:145-156), realized here.
+
+    return_centers=True appends a third return: per-frame snapped center
+    vertex ids (device-computed inside the compaction program) that the
+    winding stage consumes directly instead of re-snapping on the host."""
     import jax.numpy as jnp
 
     from manifold_flow_tpu.utils.precision import analysis_dtype
@@ -370,10 +375,13 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
             code_maps.append(cm)
     points_per_frame = []
     labels_per_frame = []
-    compacted = sing_ops.compact_all(mesh, field, capacity=cap)
+    centers_per_frame = []
+    compacted = sing_ops.compact_all(mesh, field, capacity=cap,
+                                     with_centers=True)
     for k in range(v.shape[0]):
-        pts, kinds, ids = compacted[k]
+        pts, kinds, ids, centers = compacted[k]
         points_per_frame.append(pts)
+        centers_per_frame.append(centers)
         if classify:
             lab = [sing_ops.CLASS_NAMES[code_maps[k][(kind, int(idx))]]
                    for kind, idx in zip(kinds, ids)]
@@ -384,7 +392,10 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     if classification_path is not None and classify:
         io.submit_write(writer, io.save_pickle, classification_path,
                         labels_per_frame)
-    return points_per_frame, (labels_per_frame if classify else None)
+    labels = labels_per_frame if classify else None
+    if return_centers:
+        return points_per_frame, labels, centers_per_frame
+    return points_per_frame, labels
 
 
 # ------------------------------------------------------------------- S4 ----
@@ -470,8 +481,14 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
 
 # ------------------------------------------------------------------- S7 ----
 def winding_stage(mesh: TriMesh, v_world, singularity_points,
-                  config: PipelineConfig, save_path=None, writer=None):
-    """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}."""
+                  config: PipelineConfig, save_path=None, writer=None,
+                  centers=None):
+    """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}.
+
+    `centers` optionally carries the detection stage's per-frame snapped
+    center vertex ids (singularity_stage(return_centers=True)); without
+    them the op re-snaps points on the host (the resume-from-pickle path).
+    """
     import jax.numpy as jnp
 
     # Device arrays stay on device (the movie would otherwise cross the
@@ -496,15 +513,21 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
         # analysis dtype — see utils.precision.analysis_dtype).
         pts_arr = np.zeros((n_frames, smax, 3), dtype=np.float64)
         valid = np.zeros((n_frames, smax), dtype=bool)
+        centers_arr = None
+        if centers is not None:
+            centers_arr = np.zeros((n_frames, smax), dtype=np.int32)
         for t in range(n_frames):
             if caps[t]:
                 pts_arr[t, : caps[t]] = np.asarray(singularity_points[t])
                 valid[t, : caps[t]] = True
+                if centers_arr is not None:
+                    centers_arr[t, : caps[t]] = np.asarray(centers[t])
         # Unique-center dedup: ring tables (BFS + polar sort) are built once
         # per distinct snapped center, not once per (frame, singularity).
         res = wind_ops.analyze_singularities_movie(
             mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
-            max_level=config.analysis.max_winding_level)
+            max_level=config.analysis.max_winding_level,
+            centers=centers_arr)
         io.start_host_copy(res.counts, res.types)
         counts = np.asarray(res.counts)
         types = np.asarray(res.types)

@@ -131,6 +131,35 @@ def test_winding_movie_grid_matches_slots(source_setup, monkeypatch):
                                rtol=1e-6, atol=1e-9)
 
 
+def test_winding_movie_precomputed_centers_match(source_setup):
+    """Passing precomputed snapped centers (the detection stage's device
+    output, VERDICT r3 #3) yields results identical to the host-snap path."""
+    mesh, _, _, truth, _, v3 = source_setup
+    t, s = 3, 4
+    rng = np.random.default_rng(5)
+    pts = np.zeros((t, s, 3))
+    valid = np.zeros((t, s), dtype=bool)
+    for k in range(t):
+        n_k = [1, 3, 2][k]
+        pts[k, :n_k] = np.asarray(truth)[:1] + rng.normal(0, 0.4, (n_k, 3))
+        valid[k, :n_k] = True
+    mpts = np.asarray(mesh.points)
+    d2 = ((pts.reshape(-1, 1, 3) - mpts[None]) ** 2).sum(-1)
+    centers = d2.argmin(axis=1).astype(np.int32).reshape(t, s)
+    host = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:t]), pts, valid, max_level=6)
+    pre = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:t]), pts, valid, max_level=6,
+        centers=centers)
+    np.testing.assert_array_equal(np.asarray(host.counts),
+                                  np.asarray(pre.counts))
+    np.testing.assert_array_equal(np.asarray(host.types),
+                                  np.asarray(pre.types))
+    np.testing.assert_allclose(np.asarray(host.winding_numbers),
+                               np.asarray(pre.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_winding_movie_empty():
     mesh = synthetic.plane_patch(nx=8, ny=8, lx=4.0, ly=4.0)
     v = jnp.zeros((2, mesh.n_vertices, 3))

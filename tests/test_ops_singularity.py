@@ -180,6 +180,30 @@ def test_compact_all_matches_full_mask_fetch():
             rows, np.concatenate([pts[vid], ipts[k][mid]], axis=0))
 
 
+def test_compact_all_centers_match_host_snap():
+    """with_centers=True emits each singularity's snapped center vertex —
+    identical to a host-side nearest-vertex argmin (vertex candidates snap
+    to themselves, interior points to their nearest real vertex)."""
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=10.0, ly=10.0,
+        height=lambda x, y: 0.3 * np.sin(0.9 * x) * np.cos(0.7 * y))
+    v3, _ = _field(mesh)
+    field = singularity.detect(mesh, jnp.asarray(v3), eps=1e-4)
+    got = singularity.compact_all(mesh, field, with_centers=True)
+    pts = np.asarray(mesh.points)
+    any_interior = False
+    for rows, kinds, ids, centers in got:
+        assert len(centers) == len(ids)
+        for row, kind, idx, c in zip(rows, kinds, ids, centers):
+            if kind == "vertex":
+                assert int(c) == int(idx)
+            else:
+                any_interior = True
+                want = int(((pts - row) ** 2).sum(-1).argmin())
+                assert int(c) == want
+    assert any_interior  # the fixture must actually exercise the snap
+
+
 def test_detection_counts_empty_movie():
     """A degenerate 0-frame movie (single-frame input upstream) yields zero
     counts instead of a reduction-over-empty-axis error (ADVICE r3)."""
