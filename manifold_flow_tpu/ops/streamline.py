@@ -509,7 +509,8 @@ def _gather_walk_rows(vflat: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return vflat[ids]
 
 
-def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
+def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
+                   coord_dtype=None):
     """Host-side: a whole movie's masked walks -> per-frame polyline lists.
 
     Equivalent to per-frame `compact` over a (T, N, W) Streamlines, but
@@ -518,10 +519,19 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20):
     ~25 MB/s remote link while the survivors are ~1.4 MB. The keep mask
     comes from the (small) lengths array; one jitted gather compacts the
     kept rows on device (capacity bucketed to powers of two so cohort
-    sweeps reuse the compiled program)."""
+    sweeps reuse the compiled program).
+
+    `coord_dtype` sets the polyline coordinate dtype (default: the mesh's
+    point dtype). Streamline polylines are bz2-pickled per frame — ~2.5 s
+    of drain-tail compression per trial at reference scale in f64 — and
+    the walk data is only f32-accurate anyway (the tracer consumes the f32
+    analysis-dtype movie), so the pipeline ships float32 unless
+    reference_quirks asks for the f64 bytes (VERDICT r3 #5)."""
     import numpy as np
 
     pts = np.asarray(mesh.points)
+    if coord_dtype is not None:
+        pts = pts.astype(coord_dtype)
     lengths = np.asarray(sl.lengths)                        # (T, N)
     t, n = lengths.shape
     nv = min(n, int(mesh.valid_vertices))

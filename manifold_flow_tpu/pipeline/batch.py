@@ -43,7 +43,12 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-DEVICE_STAGES = ("flow", "decompose", "wavespeed", "streamline", "winding")
+# Stage order within a trial: streamline runs right after flow so its ~97
+# per-frame pkl.bz2 artifact compressions (the largest write burst) overlap
+# the decompose/wavespeed/winding device waits instead of landing in the
+# end-of-trial writer drain (VERDICT r3 #5). Artifact dependencies are
+# unaffected: everything after flow needs only the in-memory velocity.
+DEVICE_STAGES = ("flow", "streamline", "decompose", "wavespeed", "winding")
 # The amplitude wave-speed variant (S5_compute_wave_v.py:14-58) exists in the
 # reference but is never wired into its main; it is opt-in here too.
 ALL_STAGES = DEVICE_STAGES + ("wavespeed_amplitude",)

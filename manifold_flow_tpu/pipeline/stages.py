@@ -466,9 +466,13 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
         max_steps=config.analysis.max_streamline_steps,
         quirks=config.reference_quirks)
     # compact_frames fetches only the rows that reach min_length (~13% at
-    # reference scale) — the walk arrays stay on device otherwise.
+    # reference scale) — the walk arrays stay on device otherwise. Polyline
+    # coordinates ship as float32 (halving the per-frame pkl.bz2 artifact
+    # compression that dominates the trial's writer-drain tail) unless
+    # reference_quirks pins the reference's f64 bytes.
     per_frame = stream_ops.compact_frames(
-        mesh, batched, min_length=config.analysis.min_streamline_length)
+        mesh, batched, min_length=config.analysis.min_streamline_length,
+        coord_dtype=None if config.reference_quirks else np.float32)
     out = {}
     for i, k in enumerate(frames):
         lines = per_frame[i]
