@@ -24,10 +24,13 @@ process indices (parallel.multihost.initialize). Per-trial isolation: one
 failing trial is recorded and the sweep continues (the reference's only
 failure mechanism is per-run isolation in S0, S0_preprocess.py:169-172).
 
-S0-S2 (MNE preprocessing, surface reconstruction, RBF interpolation from
-evokeds) are host-side, per-subject steps with their own CLI subcommands;
-the batch driver starts where per-trial device work starts: interpolated
-vertex movies.
+S0-S1 (MNE preprocessing, surface reconstruction) are host-side, per-subject
+steps with their own CLI subcommands. S2 IS a batch stage ('interpolate'):
+trials holding per-site evokeds (+ BIDS TSVs) get their stimulated pair
+parsed from the trial name and excluded, the reference's channel predicate
+applied, and both potentials and phases movies written — so one command runs
+a cohort from S0 outputs to winding lines (discover_interpolation_tasks /
+run_interpolation, mirroring S2_interpolate.py:79-160).
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ from __future__ import annotations
 import contextlib
 import json
 import logging
+import re
 import time
 from pathlib import Path
 from typing import NamedTuple, Sequence
@@ -116,12 +120,11 @@ def shard_trials(trials, num_shards: int, shard_index: int):
     return [t for i, t in enumerate(trials) if i % num_shards == shard_index]
 
 
-def _find_sfreq(trial: TrialRef) -> float | None:
+def _find_sfreq_near(trial_dir: Path) -> float | None:
     """Sampling frequency from the nearest BIDS ieeg sidecar JSON — the
     reference reads SamplingFrequency per run (S5_compute_wave_v.py:301-305).
     Searches trial, run, then subject directory."""
-    for d in (trial.trial_dir, trial.trial_dir.parent,
-              trial.trial_dir.parent.parent):
+    for d in (trial_dir, trial_dir.parent, trial_dir.parent.parent):
         for j in sorted(d.glob("*.json")):
             try:
                 info = json.loads(j.read_text())
@@ -130,6 +133,200 @@ def _find_sfreq(trial: TrialRef) -> float | None:
             if isinstance(info, dict) and "SamplingFrequency" in info:
                 return float(info["SamplingFrequency"])
     return None
+
+
+def _find_sfreq(trial: TrialRef) -> float | None:
+    return _find_sfreq_near(trial.trial_dir)
+
+
+# ------------------------------------------------------------------- S2 ----
+# Stimulated-pair extraction from the trial folder name: the reference's
+# pattern2 (S2_interpolate.py:97-102) — 'G1-G2' stimulates G1 and G2, and
+# both are removed from the interpolation inputs (S2:125-135).
+_STIM_PAIR_PATTERN = re.compile(r"(.*?)-(.*)")
+
+
+class InterpTask(NamedTuple):
+    """One trial awaiting S2 interpolation: an evoked movie plus the BIDS
+    sidecars needed to select and place its electrodes."""
+
+    subject: str
+    run: str
+    trial: str
+    trial_dir: Path
+    surface_path: Path
+    evoked_path: Path             # <stem>-ave.csv (portable) or -ave.fif
+    electrodes_path: Path | None  # *_electrodes.tsv
+    channels_path: Path | None    # *_channels.tsv (run-matched if present)
+
+    @property
+    def key(self) -> str:
+        return f"{self.subject}/{self.run}/{self.trial}"
+
+
+def _find_sidecar(trial_dir: Path, patterns) -> Path | None:
+    """First match of any pattern in trial, run, then subject directory —
+    the reference reads the TSVs from the per-session ieeg folder
+    (S2:112-113); a results-tree copy at any level works here."""
+    for d in (trial_dir, trial_dir.parent, trial_dir.parent.parent):
+        for pat in patterns:
+            hits = sorted(d.glob(pat))
+            if hits:
+                return hits[0]
+    return None
+
+
+def discover_interpolation_tasks(root, subjects: Sequence[str] | None = None):
+    """Every trial with a per-site evoked movie, whether or not the
+    interpolated movie exists yet (run_interpolation resumes by presence).
+
+    Mirrors the reference's S2 walk (S2_interpolate.py:79-102): subjects ->
+    run-* -> trial folders; the evoked is `<stem>-ave.fif` in the trial
+    folder (our preprocessing also writes a portable `<stem>-ave.csv` twin,
+    preferred because it needs no MNE)."""
+    root = Path(root)
+    out = []
+    for subject_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+        if subjects and subject_dir.name not in subjects:
+            continue
+        surface = _find_surface(subject_dir)
+        if surface is None:
+            continue
+        for run_dir in sorted(subject_dir.glob("run-*")):
+            if not run_dir.is_dir():
+                continue
+            run_no = run_dir.name[len("run-"):]
+            for trial_dir in sorted(p for p in run_dir.iterdir()
+                                    if p.is_dir()):
+                evoked = (sorted(trial_dir.glob("*-ave.csv"))
+                          or sorted(trial_dir.glob("*-ave.fif")))
+                if not evoked:
+                    continue
+                electrodes = _find_sidecar(trial_dir, ["*_electrodes.tsv"])
+                channels = _find_sidecar(
+                    trial_dir, [f"*_run-{run_no}_channels.tsv",
+                                "*_channels.tsv"])
+                out.append(InterpTask(
+                    subject=subject_dir.name, run=run_dir.name,
+                    trial=trial_dir.name, trial_dir=trial_dir,
+                    surface_path=surface, evoked_path=evoked[0],
+                    electrodes_path=electrodes, channels_path=channels))
+    return out
+
+
+def selected_channel_names(channels_path, stim_pair=()):
+    """Grid-ECoG channel names passing the reference's predicate, minus the
+    stimulated pair.
+
+    Conditions (S2_interpolate.py:116-123): type == ECOG, status == good,
+    status_description == included, group == grid. The stimulated channels
+    are then removed in order (S2:125-135). Returns (names, excluded)."""
+    import pandas as pd
+
+    table = pd.read_csv(channels_path, sep="\t")
+    keep = ((table.get("type") == "ECOG")
+            & (table.get("status") == "good")
+            & (table.get("status_description") == "included")
+            & (table.get("group") == "grid"))
+    names = table.loc[keep, "name"].dropna().astype(str).tolist()
+    excluded = []
+    for stim in stim_pair:
+        if stim in names:
+            names.remove(stim)
+            excluded.append(stim)
+    return names, excluded
+
+
+def _read_evoked(path: Path):
+    """(data (T, C), ch_names, sfreq | None) from a portable evoked CSV or
+    an MNE .fif (S2:106-110; the .fif route needs MNE installed)."""
+    from manifold_flow_tpu.utils import io
+
+    if path.suffix == ".csv":
+        data, names = io.load_evoked_csv(path)
+        return data, names, None
+    import mne  # deferred: .fif evokeds only
+
+    evoked = mne.read_evokeds(str(path), 0)
+    return evoked.get_data().T, list(evoked.ch_names), float(
+        evoked.info["sfreq"])
+
+
+def run_interpolation(task: InterpTask, config, overwrite: bool = False,
+                      mesh_cache: dict | None = None, cache_dir=None) -> dict:
+    """S2 for one trial: evoked (T, E) -> interpolated vertex movies
+    (potentials AND phases CSVs, the flow/wavespeed stage inputs).
+
+    The stimulated pair is parsed from the trial folder name and excluded
+    automatically (S2_interpolate.py:97-102,125-135); channel selection
+    applies the reference's TSV predicate (selected_channel_names); the
+    movie windows to [start_time, end_time) seconds via the evoked's (or
+    sidecar's) sampling frequency (S2:19-20,109-110). Artifacts follow the
+    reference's names: `{stem}-ave-interpolation_data.csv` (S2:157) and
+    `{stem}-ave-interpolation_phases_data.csv`. Returns a report dict;
+    status 'skipped' when both artifacts already exist."""
+    from manifold_flow_tpu.pipeline import stages as S
+    from manifold_flow_tpu.utils import io
+
+    name = task.evoked_path.name
+    for suf in ("-ave.csv", "-ave.fif"):
+        if name.endswith(suf):
+            stem = name[: -len(suf)]
+            break
+    else:
+        stem = task.evoked_path.stem
+    art = task.trial_dir / f"{stem}-ave-interpolation_data.csv"
+    art_ph = task.trial_dir / f"{stem}-ave-interpolation_phases_data.csv"
+    if not overwrite and art.exists() and art_ph.exists():
+        return {"status": "skipped", "artifact": str(art)}
+
+    m = _STIM_PAIR_PATTERN.search(task.trial)
+    stim_pair = (m.group(1), m.group(2)) if m else ()
+    if task.channels_path is None or task.electrodes_path is None:
+        raise FileNotFoundError(
+            f"{task.key}: interpolation needs *_channels.tsv and "
+            "*_electrodes.tsv near the trial (searched trial, run and "
+            "subject directories)")
+    names, excluded = selected_channel_names(task.channels_path, stim_pair)
+
+    data, ch_names, sfreq = _read_evoked(task.evoked_path)
+    if sfreq is None:
+        sfreq = _find_sfreq_near(task.trial_dir)
+    if sfreq is None:
+        logger.warning(
+            "batch: %s: no sampling frequency (evoked metadata or sidecar "
+            "JSON); interpolating the FULL evoked without the "
+            "[start_time, end_time) window", task.key)
+
+    # Electrode coordinates keep the TSV's row order; the evoked's columns
+    # are aligned to that order BY NAME. (The reference builds data in
+    # channels.tsv order and coordinates in electrodes.tsv order, silently
+    # assuming both agree, S2:138-151 — true for this dataset; matching by
+    # name makes it robust.)
+    coords, kept = io.load_grid_electrodes(
+        task.electrodes_path, group=None, names=names, with_names=True)
+    missing = [n for n in kept if n not in ch_names]
+    if missing:
+        raise ValueError(
+            f"{task.key}: channels {missing} selected by the TSVs are not "
+            "in the evoked recording")
+    cols = [ch_names.index(n) for n in kept]
+    movie = data[:, cols]
+
+    if mesh_cache is not None and task.surface_path in mesh_cache:
+        mesh = mesh_cache[task.surface_path]
+    else:
+        mesh = S.load_surface(task.surface_path, cache_dir=cache_dir,
+                              pad=getattr(config, "pad_meshes", False))
+        if mesh_cache is not None:
+            mesh_cache[task.surface_path] = mesh
+    S.interpolate_stage(mesh, coords, movie, config, sfreq=sfreq,
+                        save_path=art)
+    S.interpolate_stage(mesh, coords, movie, config, sfreq=sfreq,
+                        phases=True, save_path=art_ph)
+    return {"status": "done", "artifact": str(art),
+            "phases_artifact": str(art_ph), "n_electrodes": len(kept),
+            "excluded": excluded}
 
 
 def trial_prefix(trial: TrialRef) -> str:
@@ -444,12 +641,32 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
     num_shards = num_shards or 1
     shard_index = shard_index or 0
 
-    trials = discover_trials(root, subjects=subjects)
-    mine = shard_trials(trials, num_shards, shard_index)
     report = {"trials": {}, "errors": {},
-              "shard": [shard_index, num_shards],
-              "discovered": len(trials)}
+              "shard": [shard_index, num_shards]}
     mesh_cache: dict = {}
+    stages = tuple(stages)
+    if "interpolate" in stages:
+        # S2 first: produce the interpolated movies the device stages
+        # consume, sharded like trials (same round-robin over the sorted
+        # task list). One command then flows a cohort from S0 outputs
+        # (evokeds + TSVs) to winding lines (VERDICT r3 #2).
+        tasks = discover_interpolation_tasks(root, subjects=subjects)
+        report["interpolation"] = {}
+        for i, task in enumerate(tasks):
+            if i % num_shards != shard_index:
+                continue
+            try:
+                report["interpolation"][task.key] = run_interpolation(
+                    task, config, overwrite=overwrite,
+                    mesh_cache=mesh_cache, cache_dir=cache_dir)
+            except Exception as e:  # per-trial isolation
+                logger.exception("batch: interpolation %s failed", task.key)
+                report["errors"][task.key] = f"{type(e).__name__}: {e}"
+        stages = tuple(s for s in stages if s != "interpolate")
+
+    trials = discover_trials(root, subjects=subjects)
+    mine = shard_trials(trials, num_shards, shard_index) if stages else []
+    report["discovered"] = len(trials)
     for trial in mine:
         try:
             report["trials"][trial.key] = run_trial(

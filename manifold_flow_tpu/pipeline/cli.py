@@ -437,10 +437,12 @@ def build_parser():
     sp.add_argument("--root", required=True,
                     help="results tree root: <root>/<subject>/run-*/<trial>/")
     sp.add_argument("--stages", nargs="*",
-                    default=["flow", "decompose", "wavespeed", "streamline",
+                    default=["flow", "streamline", "decompose", "wavespeed",
                              "winding"],
-                    choices=["flow", "decompose", "wavespeed", "streamline",
-                             "winding", "wavespeed_amplitude"])
+                    choices=["interpolate", "flow", "decompose", "wavespeed",
+                             "streamline", "winding", "wavespeed_amplitude"],
+                    help="'interpolate' adds the S2 sweep: evokeds + TSVs "
+                         "-> interpolated movies (stim pair auto-excluded)")
     sp.add_argument("--subjects", nargs="*", default=None)
     sp.add_argument("--sfreq", type=float, default=None,
                     help="overrides the BIDS sidecar SamplingFrequency")

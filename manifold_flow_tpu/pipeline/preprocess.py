@@ -163,6 +163,8 @@ def preprocess_run(files: RunFiles, out_dir: Path,
     epochs.save(str(out_dir / f"{files.stem.replace('_ieeg', '')}-epo.fif"),
                 overwrite=True)
 
+    from manifold_flow_tpu.utils import io as _io
+
     for site in event_id:
         evoked = epochs[site].average()
         name = f"{files.stem}-{site}-ave.fif"
@@ -170,6 +172,10 @@ def preprocess_run(files: RunFiles, out_dir: Path,
         site_dir = out_dir / site
         site_dir.mkdir(exist_ok=True)
         evoked.save(str(site_dir / name), overwrite=True)
+        # Portable twin of the .fif so the batch interpolation stage can
+        # consume evokeds MNE-free (utils.io.save_evoked_csv).
+        _io.save_evoked_csv(site_dir / name.replace("-ave.fif", "-ave.csv"),
+                            evoked.get_data().T, evoked.ch_names)
     return epochs
 
 

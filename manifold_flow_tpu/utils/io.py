@@ -163,6 +163,39 @@ def load_indexed_csv(path):
     return data[:, 1:]
 
 
+def save_evoked_csv(path, data, ch_names):
+    """Portable per-site evoked movie: (T, C) data with CHANNEL NAMES as the
+    header (plus the usual integer index column).
+
+    The reference stores evokeds as MNE `.fif` (S0_preprocess.py:119-130;
+    read back by S2_interpolate.py:106-147), which needs MNE to read. The
+    preprocessing stage here writes this CSV alongside the .fif so the
+    batch interpolation stage works MNE-free; the format is the standard
+    indexed CSV with names instead of 0..C-1 in the header."""
+    data = np.asarray(data)
+    ch_names = list(map(str, ch_names))
+    if data.shape[1] != len(ch_names):
+        raise ValueError(
+            f"evoked data has {data.shape[1]} columns but {len(ch_names)} "
+            "channel names")
+    header = "," + ",".join(ch_names)
+    rows = np.concatenate(
+        [np.arange(data.shape[0])[:, None], data], axis=1)
+    fmt = ["%d"] + ["%.18g"] * data.shape[1]
+    np.savetxt(path, rows, delimiter=",", header=header, comments="",
+               fmt=fmt)
+
+
+def load_evoked_csv(path):
+    """Read a portable evoked CSV -> (data (T, C) float64, ch_names)."""
+    with open(path, "r", encoding="utf-8") as f:
+        names = f.readline().strip().split(",")[1:]
+    data = np.loadtxt(path, delimiter=",", skiprows=1)
+    if data.ndim == 1:
+        data = data[None]
+    return data[:, 1:], names
+
+
 def save_e_csv(path, e):
     """(N, 2, 3) tangent bases -> the reference's (N, 6) e.csv layout."""
     save_indexed_csv(path, np.asarray(e).reshape(len(e), -1))

@@ -115,6 +115,85 @@ def test_run_batch_full_then_resume(results_tree):
         assert set(st.values()) == {"skipped"}, (key, st)
 
 
+def test_interpolate_batch_stage(tmp_path):
+    """S2 as a batch stage (VERDICT r3 #2): a trial holding an evoked +
+    BIDS TSVs but no interpolated movie gets one — stim pair G1-G2 parsed
+    from the trial name and excluded, the reference's channel predicate
+    applied, artifact named `{stem}-ave-interpolation_data.csv` (S2:157)
+    plus the phases movie — and the device stages then flow from it, all
+    through ONE run_batch call. A second sweep skips the interpolation."""
+    root = tmp_path / "results"
+    subj = root / "sub-01"
+    trial_dir = subj / "run-001" / "G1-G2"
+    trial_dir.mkdir(parents=True)
+    mesh = synthetic.plane_patch(
+        nx=12, ny=12, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+    io.write_ply(subj / "sub-01_reconstructed_surface.ply",
+                 np.asarray(mesh.points), np.asarray(mesh.triangles))
+    (subj / "sub-01_ieeg.json").write_text(
+        json.dumps({"SamplingFrequency": 16}))
+
+    # 8 grid electrodes on mesh vertices + one bad channel + one n/a row.
+    pts = np.asarray(mesh.points)
+    sel = np.linspace(0, mesh.n_vertices - 1, 9).astype(int)
+    names = [f"G{i + 1}" for i in range(8)] + ["B1"]
+    lines = ["name\tx\ty\tz\tgroup"]
+    for n, vid in zip(names, sel):
+        lines.append(f"{n}\t{pts[vid, 0]}\t{pts[vid, 1]}\t{pts[vid, 2]}"
+                     "\tgrid")
+    lines.append("G9\tn/a\tn/a\tn/a\tgrid")
+    (subj / "sub-01_electrodes.tsv").write_text("\n".join(lines) + "\n")
+    ch = ["name\ttype\tstatus\tstatus_description\tgroup"]
+    for n in names[:8]:
+        ch.append(f"{n}\tECOG\tgood\tincluded\tgrid")
+    ch.append("B1\tECOG\tbad\texcluded\tgrid")
+    (subj / "sub-01_run-001_channels.tsv").write_text("\n".join(ch) + "\n")
+
+    # Portable evoked: 16 samples x 9 channels (stim pair included, as the
+    # recording would have it).
+    t = np.linspace(0.0, 1.0, 16)
+    rng = np.random.default_rng(0)
+    data = np.sin(2 * np.pi * 3 * t)[:, None] + 0.1 * rng.normal(
+        size=(16, 9))
+    stem = "sub-01_ses-1_task-SPESclin_run-001-G1-G2"
+    io.save_evoked_csv(trial_dir / f"{stem}-ave.csv", data, names)
+
+    cfg = PipelineConfig()
+    cfg.interpolation.start_time = 0.25
+    cfg.interpolation.end_time = 0.75
+    cfg.analysis.min_streamline_length = 3
+    report = batch.run_batch(root, cfg, stages=("interpolate", "flow"))
+    assert report["errors"] == {}
+    interp = report["interpolation"]["sub-01/run-001/G1-G2"]
+    assert interp["status"] == "done"
+    assert interp["excluded"] == ["G1", "G2"]
+    assert interp["n_electrodes"] == 6  # 8 grid-good minus the stim pair
+    art = trial_dir / f"{stem}-ave-interpolation_data.csv"
+    assert interp["artifact"] == str(art) and art.exists()
+    art_ph = trial_dir / f"{stem}-ave-interpolation_phases_data.csv"
+    assert art_ph.exists()
+    movie = io.load_indexed_csv(art)
+    # Windowed to [0.25, 0.75) s at 16 Hz -> 8 frames, over all vertices.
+    assert movie.shape == (8, mesh.n_vertices)
+    # The movie equals a direct interpolation from the 6 non-stim
+    # electrodes (coordinates in TSV order) on the PLY-loaded surface
+    # (write_ply stores f32 points, so the on-disk mesh is the reference).
+    from manifold_flow_tpu.pipeline import stages as S
+
+    mesh_disk = S.load_surface(subj / "sub-01_reconstructed_surface.ply")
+    want = S.interpolate_stage(
+        mesh_disk, pts[sel[2:8]], data[4:12, 2:8], cfg)
+    np.testing.assert_allclose(movie, want, rtol=1e-10, atol=1e-12)
+    # Flow ran off the fresh movie.
+    assert report["trials"]["sub-01/run-001/G1-G2"]["flow"] == "done"
+
+    report2 = batch.run_batch(root, cfg, stages=("interpolate", "flow"))
+    assert report2["interpolation"]["sub-01/run-001/G1-G2"][
+        "status"] == "skipped"
+    assert report2["trials"]["sub-01/run-001/G1-G2"]["flow"] == "skipped"
+
+
 def test_run_trial_records_timings(results_tree):
     """run_trial fills the caller's timings dict directly (one wall per
     executed stage + a flow sub-breakdown) — the bench consumes this
