@@ -21,11 +21,19 @@ from manifold_flow_tpu.parallel.partition import (
     make_device_mesh,
     sharded_compute_velocity_fields,
 )
+from manifold_flow_tpu.parallel.scaling import (
+    halo_comm_stats,
+    measure_scaling,
+    predicted_efficiency,
+)
 
 __all__ = [
     "build_partition",
+    "halo_comm_stats",
     "halo_compute_velocity_fields",
     "halo_refined_velocity_fields",
     "make_device_mesh",
+    "measure_scaling",
+    "predicted_efficiency",
     "sharded_compute_velocity_fields",
 ]
