@@ -142,6 +142,22 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
     out["streamline_retrace_w"] = (
         int(sl.overlay_vertices.shape[1] - 1) if k else 0)
 
+    # Part attribution (VERDICT r3 #6): the tracer's three stages timed
+    # separately — next-hop tables alone, pass 1 (tables + doubling +
+    # first-repeat detection at the initial window), and the full adaptive
+    # trace (adds the escalation retrace dispatch) — so the floor-fraction
+    # gap is attributable instead of a single opaque number.
+    boundary = stream_ops.boundary_indices(mesh)
+    tables_fn = jax.jit(
+        lambda vv: stream_ops._hop_graph(mesh, vv, False, boundary))
+    t_tables = _time_program(tables_fn, v)
+    t_pass1 = _time_program(
+        lambda vv: stream_ops._trace_frames_graph(
+            mesh, vv, max_steps=16, quirks=False, boundary=boundary), v)
+    out["streamline_part_tables_ms"] = t_tables * 1e3
+    out["streamline_part_double_ms"] = max(t_pass1 - t_tables, 0.0) * 1e3
+    out["streamline_part_retrace_ms"] = max(best - t_pass1, 0.0) * 1e3
+
     # Winding over the detected singularities at a common capacity (the
     # device program of pipeline.stages.winding_stage).
     pts = np.asarray(field.interior_point)
@@ -701,6 +717,40 @@ def main():
             signal.signal(signal.SIGALRM, old)
     except Exception as e:
         extras["trial_error"] = f"{type(e).__name__}"
+    try:
+        # Scale-regime trial (VERDICT r3 #8): the SAME end-to-end batch
+        # trial at the 12.5k two-level mesh, where the gather/sort-bound
+        # analysis ops scale differently than the solve. Runs LAST under
+        # its own alarm so a compile-budget blowout on the flaky tunnel
+        # degrades to a recorded skip without eating earlier results.
+        import signal as _signal
+
+        def _bail3(signum, frame):
+            raise TimeoutError
+
+        if mesh12 is not None:
+            from manifold_flow_tpu.geometry import synthetic as _synth
+
+            pot12, times12, _ = _synth.two_source_movie(
+                mesh12, sources=((15.0, 15.0), (45.0, 45.0)), n_frames=98,
+                speed=24.0, wavelength=24.0, dt=1.0 / 512.0,
+                dtype=np.float64)
+            old3 = _signal.signal(_signal.SIGALRM, _bail3)
+            _signal.alarm(900)
+            try:
+                tr12 = bench_trial(mesh12, pot12, times12)
+            finally:
+                _signal.alarm(0)
+                _signal.signal(_signal.SIGALRM, old3)
+            extras["trial_seconds_12k"] = tr12["trial_seconds"]
+            extras["trial_stage_seconds_12k"] = tr12["trial_stage_seconds"]
+            extras["trial_drain_seconds_12k"] = tr12["trial_drain_seconds"]
+            extras["trial_12k_ok"] = tr12["trial_ok"]
+    except TimeoutError:
+        extras["trial_12k_skipped"] = (
+            "900s alarm: compile budget exceeded on the remote tunnel")
+    except Exception as e:
+        extras["trial_12k_error"] = f"{type(e).__name__}"
 
     print(json.dumps({
         "metric": "optical_flow_frames_per_sec_per_chip",
