@@ -348,7 +348,17 @@ def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
     + first-repeat detection are modeled as streaming reads of the
     neighbor/cell tables (T*(3*N*D + 2*N*C + 21*N) float32-equivalents at
     axpy_gbps; detection at w<=64 measured ~3 ms is folded into that
-    allowance).
+    allowance). Measured part attribution (r4, streamline_part_*_ms, each
+    standalone timing carrying its own ~24 ms dispatch): the doubling and
+    retrace gathers sit ON their chase-model prices (51 ms model vs 50.7
+    measured; 41+dispatch vs ~75), so the residual ~20% above the floor is
+    (a) ~10 ms of table-build cost beyond the streaming allowance (XLA
+    op overhead in the vmapped boundary tests, not traffic) and (b)
+    ~25 ms of host-side escalation logic between the two dispatches
+    (flatnonzero/patch over 300k walk lengths on the 2-core host) — both
+    genuine costs of the implementation, neither a hardware-necessary
+    floor term, so they stay OUT of the model and the fraction reads
+    honestly as "what a zero-overhead tracer could still save".
 
     Winding (unique-center grid design): one composite-key argsort of N
     keys (priced at sort_gkps; argsort ~ sort of key+payload, x2) and one

@@ -244,12 +244,35 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         method = ("refined" if on_accelerator
                   and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
 
+    def prep_artifacts(res_, speed_):
+        """Dispatch the artifact views and START their device->host copies.
+
+        Called BEFORE the convergence fetch blocks: the unpad slices are
+        eager dispatches (~24 ms of host-side call latency each on the
+        remote link) and the copies are multi-MB transfers — issued here
+        they all ride the solve's device time instead of serializing after
+        it (measured r4: this block was 0.27 s of the 0.73 s flow wall when
+        it ran post-solve). The writer submits stay AFTER the convergence
+        check so an escalation can re-prepare before anything is written."""
+        arts = {}
+        if e_path is not None:
+            arts["e"] = mesh.basis[: int(mesh.valid_vertices)]
+            _start_host_copy(arts["e"])
+        if v_k_path is not None:
+            arts["v_k"] = unpad_dof_field(mesh, res_.v_k)
+            _start_host_copy(arts["v_k"])
+        if speed_path is not None:
+            arts["speed"] = unpad_vertex_field(mesh, speed_)
+            _start_host_copy(arts["speed"])
+        return arts
+
     t0 = _time.perf_counter()
     res = run(method)
     # Dispatch the recombination before the convergence fetch blocks: the
     # device pipeline keeps working while the (T,) flags cross the link.
     v_world = velocity_to_world(res.v_k, mesh.basis)
     speed = world_speed(v_world)
+    arts = prep_artifacts(res, speed)
     t1 = _time.perf_counter()
     conv = np.asarray(res.converged)
     t2 = _time.perf_counter()
@@ -279,6 +302,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
             res = run("refined")
             v_world = velocity_to_world(res.v_k, mesh.basis)
             speed = world_speed(v_world)
+            arts = prep_artifacts(res, speed)  # supersedes the first pass
             conv = np.asarray(res.converged)
         if not conv.all():
             bad = np.where(~conv)[0]
@@ -301,16 +325,11 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     # serial fetch cost ~230 ms of the flow stage wall).
     t3 = _time.perf_counter()
     if e_path is not None:
-        io.submit_write(writer, io.save_e_csv, e_path,
-                        np.asarray(mesh.basis)[: int(mesh.valid_vertices)])
+        io.submit_write(writer, io.save_e_csv, e_path, arts["e"])
     if v_k_path is not None:
-        vk_art = unpad_dof_field(mesh, res.v_k)
-        _start_host_copy(vk_art)
-        io.submit_write(writer, io.save_indexed_csv, v_k_path, vk_art)
+        io.submit_write(writer, io.save_indexed_csv, v_k_path, arts["v_k"])
     if speed_path is not None:
-        sp_art = unpad_vertex_field(mesh, speed)
-        _start_host_copy(sp_art)
-        io.submit_write(writer, _save_pickle_np, speed_path, sp_art)
+        io.submit_write(writer, _save_pickle_np, speed_path, arts["speed"])
     if timings is not None:
         timings["artifact_starts"] = _time.perf_counter() - t3
     return VelocityStage(
