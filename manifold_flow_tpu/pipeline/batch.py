@@ -414,7 +414,7 @@ def stage_done(trial: TrialRef, stage: str, config=None) -> bool:
 def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
               sfreq: float | None = None, overwrite: bool = False,
               mesh_cache: dict | None = None, cache_dir=None,
-              timings: dict | None = None) -> dict:
+              timings: dict | None = None, movie_data=None) -> dict:
     """Run the requested device stages for one trial; returns
     {stage: 'done' | 'skipped'}. Stage inputs flow in memory; artifacts land
     in the trial directory in the reference's formats.
@@ -422,7 +422,13 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     `timings`, when given, receives wall seconds per executed stage plus a
     'flow_detail' sub-breakdown (movie CSV load, solve dispatch/wait,
     artifact-fetch starts, detection) — the recorded fact the bench reports,
-    instead of scraping this module's log lines (ADVICE r3)."""
+    instead of scraping this module's log lines (ADVICE r3).
+
+    `movie_data` optionally supplies the trial's potentials movie already
+    parsed (an (T, E) array or a concurrent Future of one): run_batch
+    prefetches the NEXT trial's CSV while the current trial computes, so
+    steady-state cohort sweeps never pay the ~0.2 s parse on the critical
+    path (measured r4, trial_flow_detail.movie_load)."""
     from manifold_flow_tpu.pipeline import stages as S
     from manifold_flow_tpu.utils import io
 
@@ -476,7 +482,12 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
         if movie is None:
             from manifold_flow_tpu.geometry.mesh import pad_vertex_field
 
-            movie = io.load_indexed_csv(trial.movie_path)
+            raw = movie_data
+            if raw is not None and hasattr(raw, "result"):
+                raw = raw.result()  # a prefetch Future from run_batch
+            if raw is None:
+                raw = io.load_indexed_csv(trial.movie_path)
+            movie = np.asarray(raw)
             if (config.solver.time_steps
                     and movie.shape[0] > config.solver.time_steps):
                 movie = movie[: config.solver.time_steps]
@@ -667,13 +678,31 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
     trials = discover_trials(root, subjects=subjects)
     mine = shard_trials(trials, num_shards, shard_index) if stages else []
     report["discovered"] = len(trials)
-    for trial in mine:
-        try:
-            report["trials"][trial.key] = run_trial(
-                trial, config, stages=stages, sfreq=sfreq,
-                overwrite=overwrite, mesh_cache=mesh_cache,
-                cache_dir=cache_dir)
-        except Exception as e:  # per-trial isolation: record and continue
-            logger.exception("batch: trial %s failed", trial.key)
-            report["errors"][trial.key] = f"{type(e).__name__}: {e}"
+    # Cross-trial movie prefetch: trial i+1's CSV parses on a worker thread
+    # while trial i computes on the accelerator, so steady-state sweeps
+    # never pay the parse (~0.2 s at reference scale) on the critical path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from manifold_flow_tpu.utils import io
+
+    def _wants_movie(t):
+        return "flow" in stages and (overwrite
+                                     or not stage_done(t, "flow", config))
+
+    with ThreadPoolExecutor(max_workers=1,
+                            thread_name_prefix="movie-prefetch") as pool:
+        futures: dict = {}
+        for i, trial in enumerate(mine):
+            if i + 1 < len(mine) and _wants_movie(mine[i + 1]):
+                futures[mine[i + 1].key] = pool.submit(
+                    io.load_indexed_csv, mine[i + 1].movie_path)
+            fut = futures.pop(trial.key, None)
+            try:
+                report["trials"][trial.key] = run_trial(
+                    trial, config, stages=stages, sfreq=sfreq,
+                    overwrite=overwrite, mesh_cache=mesh_cache,
+                    cache_dir=cache_dir, movie_data=fut)
+            except Exception as e:  # per-trial isolation: record + continue
+                logger.exception("batch: trial %s failed", trial.key)
+                report["errors"][trial.key] = f"{type(e).__name__}: {e}"
     return report
