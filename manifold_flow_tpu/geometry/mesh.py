@@ -381,13 +381,36 @@ def unpad_dof_field(mesh: TriMesh, arr) -> np.ndarray:
     """Strip padding from DOF vectors (..., 2N) -> (..., 2nv).
 
     The DOF layout is dof = vertex + N * alpha (two stacked component
-    halves), so unpadding keeps the first nv entries of each half."""
+    halves), so unpadding keeps the first nv entries of each half.
+    Returns HOST numpy — on a device array this is a synchronous fetch;
+    use unpad_dof_field_device when the result stays on device (the fetch
+    cost over a remote accelerator link is the whole array)."""
     arr = np.asarray(arr)
     n = mesh.n_vertices
     nv = int(mesh.valid_vertices)
     if nv == n:
         return arr
     return np.concatenate([arr[..., :nv], arr[..., n: n + nv]], axis=-1)
+
+
+def unpad_dof_field_device(mesh: TriMesh, arr):
+    """unpad_dof_field as DEVICE slices: no host fetch, result stays a
+    device array (start its host copy async if an artifact needs it)."""
+    import jax.numpy as jnp
+
+    n = mesh.n_vertices
+    nv = int(mesh.valid_vertices)
+    if nv == n:
+        return arr
+    return jnp.concatenate([arr[..., :nv], arr[..., n: n + nv]], axis=-1)
+
+
+def unpad_vertex_field_device(mesh: TriMesh, arr):
+    """unpad_vertex_field as a DEVICE slice (identity when unpadded)."""
+    nv = int(mesh.valid_vertices)
+    if nv == mesh.n_vertices:
+        return arr
+    return arr[..., :nv]
 
 
 def pad_dof_field(mesh: TriMesh, arr) -> np.ndarray:

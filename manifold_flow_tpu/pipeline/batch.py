@@ -572,10 +572,13 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                     timings["flow_detail"] = detail
             elif s == "decompose":
                 if vel is not None:
+                    # Device slices: the numpy unpad would fetch the whole
+                    # (T, 2N) movie host-ward only for decompose_stage to
+                    # re-upload it.
                     from manifold_flow_tpu.geometry.mesh import (
-                        unpad_dof_field)
+                        unpad_dof_field_device)
 
-                    v_k = unpad_dof_field(mesh, vel.v_k)
+                    v_k = unpad_dof_field_device(mesh, vel.v_k)
                 else:
                     v_k = io.load_indexed_csv(d / names["v_k"]) if (
                         d / names["v_k"]).exists() else None

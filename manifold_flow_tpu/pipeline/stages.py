@@ -30,7 +30,6 @@ from manifold_flow_tpu.geometry.mesh import (
     build_mesh,
     pad_mesh,
     pad_vertex_field,
-    unpad_dof_field,
     unpad_vertex_field,
 )
 from manifold_flow_tpu.ops import (
@@ -245,25 +244,28 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                   and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
 
     def prep_artifacts(res_, speed_):
-        """Dispatch the artifact views and START their device->host copies.
+        """Dispatch the artifact views ON DEVICE and START their
+        device->host copies.
 
-        Called BEFORE the convergence fetch blocks: the unpad slices are
-        eager dispatches (~24 ms of host-side call latency each on the
-        remote link) and the copies are multi-MB transfers — issued here
-        they all ride the solve's device time instead of serializing after
-        it (measured r4: this block was 0.27 s of the 0.73 s flow wall when
-        it ran post-solve). The writer submits stay AFTER the convergence
-        check so an escalation can re-prepare before anything is written."""
+        geometry.mesh.unpad_* return host numpy — each call is a
+        SYNCHRONOUS tunnel fetch that blocked the flow stage for the whole
+        multi-MB transfer (measured r4: 0.27 s of the 0.73 s wall). Here
+        the unpads are device slices and the copies are async: the
+        transfers ride the convergence fetch and the following stages'
+        device time, and the writer worker's np.asarray just waits on the
+        already-running copy. The writer submits stay AFTER the
+        convergence check so an escalation can re-prepare first."""
+        from manifold_flow_tpu.geometry.mesh import (
+            unpad_dof_field_device, unpad_vertex_field_device)
+
         arts = {}
         if e_path is not None:
             arts["e"] = mesh.basis[: int(mesh.valid_vertices)]
-            _start_host_copy(arts["e"])
         if v_k_path is not None:
-            arts["v_k"] = unpad_dof_field(mesh, res_.v_k)
-            _start_host_copy(arts["v_k"])
+            arts["v_k"] = unpad_dof_field_device(mesh, res_.v_k)
         if speed_path is not None:
-            arts["speed"] = unpad_vertex_field(mesh, speed_)
-            _start_host_copy(arts["speed"])
+            arts["speed"] = unpad_vertex_field_device(mesh, speed_)
+        _start_host_copy(*arts.values())
         return arts
 
     t0 = _time.perf_counter()
@@ -451,6 +453,8 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
     materialize)."""
     import jax.numpy as jnp
 
+    from manifold_flow_tpu.geometry.mesh import unpad_vertex_field_device
+
     m = jnp.asarray(pad_vertex_field(mesh, movie))
     if method == "phase":
         ws = wave_ops.wave_velocity_phase_mm_per_ms(mesh, m, dt)
@@ -458,7 +462,10 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
         ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
     else:
         raise ValueError(f"unknown wavespeed method {method!r}")
-    ws = unpad_vertex_field(mesh, ws)
+    # Device-side unpad: the numpy unpad helper would synchronously fetch
+    # the whole (T, N) field over the link; the async copy starts instead
+    # and the writer worker materializes it.
+    ws = unpad_vertex_field_device(mesh, ws)
     _start_host_copy(ws)
     if save_path is not None:
         io.submit_write(writer, _save_pickle_np, save_path, ws)
