@@ -559,3 +559,18 @@ def test_winding_in_memory_handoff_matches_disk(tmp_path):
         for ra, rb in zip(a[k], b[k]):
             np.testing.assert_array_equal(ra[0], rb[0])
             assert ra[1:] == rb[1:]
+
+
+def test_evoked_csv_roundtrip(tmp_path):
+    """Portable evoked CSV (the MNE-free twin the preprocessing stage
+    writes): exact data roundtrip, channel names preserved in order."""
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(7, 4))
+    names = ["G1", "G2", "LT3", "B1"]
+    p = tmp_path / "x-ave.csv"
+    io.save_evoked_csv(p, data, names)
+    back, names2 = io.load_evoked_csv(p)
+    assert names2 == names
+    np.testing.assert_array_equal(back, data)
+    with pytest.raises(ValueError):
+        io.save_evoked_csv(p, data, names[:3])
