@@ -487,21 +487,31 @@ def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
         return Streamlines(vertices=sl.vertices,
                            lengths=patched.reshape(t, n),
                            overlay_ids=ids, overlay_vertices=ov)
-    # Rare multi-round escalation (a walk outlived 4x the initial window):
-    # merge rounds host-side at the widest width, later rounds winning.
-    w_max = rounds[-1][1].shape[1]
-    merged: dict = {}
-    for ids, ov, _ in rounds:
-        rows = np.asarray(ov)
-        for j, s in enumerate(ids):
-            merged[int(s)] = rows[j]
-    out_ids = np.fromiter(merged.keys(), np.int32, len(merged))
-    out_rows = np.full((len(merged), w_max), PAD_INDEX, np.int32)
-    for i, s in enumerate(out_ids):
-        row = merged[int(s)]
-        out_rows[i, : row.size] = row
+    # Multi-round escalation (walks outliving 4x the initial window — at
+    # large mesh scales this can be MOST walks, not a rare tail): merge the
+    # rounds into ONE overlay ON DEVICE at the widest width, later rounds
+    # overwriting their seeds' rows. Every round's ids are an ascending
+    # subset of round 1's, so the scatter positions are a searchsorted.
+    # The previous host-side dict merge fetched every round's overlay
+    # (hundreds of MB at 12.5k scale) and looped per walk in Python —
+    # measured dominating a 10 s trace wall with 620k escalated walks.
+    ids0 = rounds[0][0]
+    w_cols = rounds[-1][1].shape[1]
+
+    def pad_rows(ov):
+        missing = w_cols - ov.shape[1]
+        if missing == 0:
+            return ov
+        return jnp.concatenate(
+            [ov, jnp.full((ov.shape[0], missing), PAD_INDEX, ov.dtype)],
+            axis=1)
+
+    base = pad_rows(rounds[0][1])
+    for ids_r, ov_r, _ in rounds[1:]:
+        pos = np.searchsorted(ids0, ids_r).astype(np.int32)
+        base = base.at[jnp.asarray(pos)].set(pad_rows(ov_r)[: len(ids_r)])
     return Streamlines(vertices=sl.vertices, lengths=patched.reshape(t, n),
-                       overlay_ids=out_ids, overlay_vertices=out_rows)
+                       overlay_ids=ids0, overlay_vertices=base)
 
 
 @partial(jax.jit, static_argnames=())
@@ -540,22 +550,35 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     fids = (fr.astype(np.int64) * n + sd).astype(np.int32)  # flat (T*N) ids
     olengths = lengths.reshape(-1)
 
-    omap = {}
+    def gather_rows(device_rows, positions):
+        """Fetch only `positions` rows of a device walk array (capacity
+        bucketed to powers of two for compiled-program reuse)."""
+        cap = max(8, 1 << int(np.ceil(np.log2(positions.size))))
+        padded = np.zeros(cap, np.int32)
+        padded[: positions.size] = positions
+        return np.asarray(_gather_walk_rows(device_rows,
+                                            jnp.asarray(padded)))
+
+    over_rows: dict = {}
     if sl.overlay_ids is not None and len(sl.overlay_ids):
-        over = np.asarray(sl.overlay_vertices)
-        omap = {int(s): j for j, s in enumerate(np.asarray(sl.overlay_ids))}
-        in_overlay = np.fromiter((int(i) in omap for i in fids), bool,
-                                 len(fids))
+        # Overlay ids ascend (flatnonzero order), so membership and
+        # positions vectorize; only the QUALIFYING overlay rows cross the
+        # link (the full overlay is hundreds of MB when most walks of a
+        # large mesh escalate).
+        o_ids = np.asarray(sl.overlay_ids)
+        in_overlay = np.isin(fids, o_ids)
+        need = fids[in_overlay]
+        if need.size:
+            opos = np.searchsorted(o_ids, need).astype(np.int32)
+            rows = gather_rows(jnp.asarray(sl.overlay_vertices), opos)
+            over_rows = {int(i): rows[j] for j, i in enumerate(need)}
     else:
         in_overlay = np.zeros(len(fids), bool)
 
     base_ids = fids[~in_overlay]
     if base_ids.size:
-        cap = max(8, 1 << int(np.ceil(np.log2(base_ids.size))))
-        padded = np.zeros(cap, np.int32)
-        padded[: base_ids.size] = base_ids
         vflat = jnp.reshape(jnp.asarray(sl.vertices), (t * n, -1))
-        rows = np.asarray(_gather_walk_rows(vflat, jnp.asarray(padded)))
+        rows = gather_rows(vflat, base_ids)
         base_rows = {int(i): rows[j] for j, i in enumerate(base_ids)}
     else:
         base_rows = {}
@@ -563,7 +586,7 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     out = [[] for _ in range(t)]
     for i in fids:
         i = int(i)
-        row = over[omap[i]] if i in omap else base_rows[i]
+        row = over_rows[i] if i in over_rows else base_rows[i]
         out[i // n].append(pts[row[: olengths[i]]])
     return out
 
