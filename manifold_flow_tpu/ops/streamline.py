@@ -519,6 +519,30 @@ def _gather_walk_rows(vflat: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return vflat[ids]
 
 
+@partial(jax.jit, static_argnames=("l_cap",))
+def _gather_packed(rows: jnp.ndarray, ids: jnp.ndarray,
+                   offsets: jnp.ndarray, l_cap: int) -> jnp.ndarray:
+    """Ragged walk extraction: concatenate rows[ids[k], :len_k] for all k
+    into ONE flat (l_cap,) vector on device.
+
+    `offsets` is the (K+1,) prefix sum of the walk lengths; l_cap a
+    power-of-two bucket >= offsets[-1]. The walk->element expansion is a
+    scatter of segment starts + cumsum (no per-element searchsorted), then
+    two flat gathers. This fetches exactly sum(lengths) elements instead
+    of fixed-width rows — at 12.5k-mesh scale the qualifying walks' useful
+    payload is ~60 MB where the fixed-width row fetch was ~500 MB
+    (measured 25 s over the remote link)."""
+    pos = jnp.arange(l_cap, dtype=jnp.int32)
+    # Segment index via scatter+cumsum; out-of-range starts (the capacity
+    # tail) drop out of the scatter by XLA's OOB-update rule.
+    marks = jnp.zeros((l_cap,), jnp.int32).at[offsets[1:]].add(1)
+    seg = jnp.cumsum(marks)                          # (L,) walk index
+    seg = jnp.minimum(seg, ids.shape[0] - 1)
+    col = pos - offsets[seg]
+    col = jnp.clip(col, 0, rows.shape[1] - 1)
+    return rows[ids[seg], col]
+
+
 def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
                    coord_dtype=None):
     """Host-side: a whole movie's masked walks -> per-frame polyline lists.
@@ -550,44 +574,52 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     fids = (fr.astype(np.int64) * n + sd).astype(np.int32)  # flat (T*N) ids
     olengths = lengths.reshape(-1)
 
-    def gather_rows(device_rows, positions):
-        """Fetch only `positions` rows of a device walk array (capacity
-        bucketed to powers of two for compiled-program reuse)."""
-        cap = max(8, 1 << int(np.ceil(np.log2(positions.size))))
-        padded = np.zeros(cap, np.int32)
-        padded[: positions.size] = positions
-        return np.asarray(_gather_walk_rows(device_rows,
-                                            jnp.asarray(padded)))
+    def packed_coords(device_rows, positions, lens):
+        """Coordinates of walks `positions` (row indices into device_rows)
+        with lengths `lens`, as (flat (sum lens, 3) coords, offsets).
 
-    over_rows: dict = {}
+        One packed ragged device gather (+ pow2 length bucket for
+        compiled-program reuse) fetches exactly the useful ids; the
+        vertex->coordinate expansion is one vectorized numpy gather."""
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        l_cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
+        flat = np.asarray(_gather_packed(
+            device_rows, jnp.asarray(positions.astype(np.int32)),
+            jnp.asarray(offsets.astype(np.int32)), l_cap))[:total]
+        return pts[flat.astype(np.int64)], offsets
+
     if sl.overlay_ids is not None and len(sl.overlay_ids):
         # Overlay ids ascend (flatnonzero order), so membership and
-        # positions vectorize; only the QUALIFYING overlay rows cross the
-        # link (the full overlay is hundreds of MB when most walks of a
-        # large mesh escalate).
+        # positions vectorize; only the QUALIFYING overlay walks' useful
+        # elements cross the link.
         o_ids = np.asarray(sl.overlay_ids)
         in_overlay = np.isin(fids, o_ids)
-        need = fids[in_overlay]
-        if need.size:
-            opos = np.searchsorted(o_ids, need).astype(np.int32)
-            rows = gather_rows(jnp.asarray(sl.overlay_vertices), opos)
-            over_rows = {int(i): rows[j] for j, i in enumerate(need)}
     else:
         in_overlay = np.zeros(len(fids), bool)
 
+    need = fids[in_overlay]
+    if need.size:
+        opos = np.searchsorted(o_ids, need)
+        o_coords, o_offs = packed_coords(
+            jnp.asarray(sl.overlay_vertices), opos, olengths[need])
     base_ids = fids[~in_overlay]
     if base_ids.size:
         vflat = jnp.reshape(jnp.asarray(sl.vertices), (t * n, -1))
-        rows = gather_rows(vflat, base_ids)
-        base_rows = {int(i): rows[j] for j, i in enumerate(base_ids)}
-    else:
-        base_rows = {}
+        b_coords, b_offs = packed_coords(vflat, base_ids,
+                                         olengths[base_ids])
 
     out = [[] for _ in range(t)]
-    for i in fids:
-        i = int(i)
-        row = over_rows[i] if i in over_rows else base_rows[i]
-        out[i // n].append(pts[row[: olengths[i]]])
+    bi = oi = 0
+    for k, i in enumerate(fids):
+        if in_overlay[k]:
+            line = o_coords[o_offs[oi]: o_offs[oi + 1]]
+            oi += 1
+        else:
+            line = b_coords[b_offs[bi]: b_offs[bi + 1]]
+            bi += 1
+        out[int(i) // n].append(line)
     return out
 
 
