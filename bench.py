@@ -686,11 +686,18 @@ def main():
             extras.update({k: round(val, 3) for k, val in floors.items()})
     except Exception as e:
         extras["yardsticks_error"] = f"{type(e).__name__}"
+    # The 12.5k mesh build is host-side numpy; keep it outside the solve
+    # bench's try so a tunnel failure there cannot also knock out the
+    # (tunnel-independent) scaling model and the 12.5k trial below.
     try:
         mesh12 = _mesh_12k()
-        extras.update(bench_scale_12k(mesh12))
     except Exception as e:
         mesh12 = None
+        extras["mesh_12k_error"] = f"{type(e).__name__}"
+    try:
+        if mesh12 is not None:
+            extras.update(bench_scale_12k(mesh12))
+    except Exception as e:
         extras["scale_12k_error"] = f"{type(e).__name__}"
     try:
         # Multi-chip scaling evidence: bytes-based mesh-axis model at the

@@ -526,12 +526,15 @@ def _gather_packed(rows: jnp.ndarray, ids: jnp.ndarray,
     into ONE flat (l_cap,) vector on device.
 
     `offsets` is the (K+1,) prefix sum of the walk lengths; l_cap a
-    power-of-two bucket >= offsets[-1]. The walk->element expansion is a
-    scatter of segment starts + cumsum (no per-element searchsorted), then
-    two flat gathers. This fetches exactly sum(lengths) elements instead
-    of fixed-width rows — at 12.5k-mesh scale the qualifying walks' useful
-    payload is ~60 MB where the fixed-width row fetch was ~500 MB
-    (measured 25 s over the remote link)."""
+    power-of-two bucket >= offsets[-1]. Callers bucket K too (pad ids
+    arbitrarily and repeat offsets[-1]) so cohort sweeps reuse one
+    compiled program per bucket pair instead of recompiling per distinct
+    walk count. The walk->element expansion is a scatter of segment
+    starts + cumsum (no per-element searchsorted), then two flat gathers.
+    This fetches exactly sum(lengths) elements instead of fixed-width
+    rows — at 12.5k-mesh scale the qualifying walks' useful payload is
+    ~60 MB where the fixed-width row fetch was ~500 MB (measured 25 s
+    over the remote link)."""
     pos = jnp.arange(l_cap, dtype=jnp.int32)
     # Segment index via scatter+cumsum; out-of-range starts (the capacity
     # tail) drop out of the scatter by XLA's OOB-update rule.
@@ -585,9 +588,18 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
         np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])
         l_cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
+        # Bucket the walk-count axis too: padding walks are zero-length
+        # (offsets repeat the total, so they claim no elements) — without
+        # this every distinct qualifying-walk count K would compile a
+        # fresh program on the remote service.
+        k_cap = max(8, 1 << int(np.ceil(np.log2(max(len(lens), 1)))))
+        pos_p = np.zeros(k_cap, np.int32)
+        pos_p[: positions.size] = positions
+        offs_p = np.full(k_cap + 1, total, np.int32)
+        offs_p[: offsets.size] = offsets
         flat = np.asarray(_gather_packed(
-            device_rows, jnp.asarray(positions.astype(np.int32)),
-            jnp.asarray(offsets.astype(np.int32)), l_cap))[:total]
+            device_rows, jnp.asarray(pos_p),
+            jnp.asarray(offs_p), l_cap))[:total]
         return pts[flat.astype(np.int64)], offsets
 
     if sl.overlay_ids is not None and len(sl.overlay_ids):

@@ -178,12 +178,17 @@ def measure_scaling(n_devices=(1, 2, 4, 8), frames_per_device: int = 8,
         pot_s, times_s, _ = synthetic.two_source_movie(
             mesh, n_frames=frames_per_device * n_max + 1, dtype=np.float64)
         strong_fps[n] = _time_solve(mesh, pot_s, times_s, dm, tol)
-    base_w = weak_fps[min(n_devices)]
-    base_s = strong_fps[min(n_devices)]
+    # Retention relative to PER-DEVICE throughput at the smallest measured
+    # device count (eff(n) = (fps(n)/n) / (fps(n0)/n0)): with n0 = 1 this
+    # is the documented fps(N)/(N*fps(1)); for a baseline-free call (no
+    # 1-device entry) it still reads 1.0 at n0 instead of 1/n0.
+    n0 = min(n_devices)
+    base_w = weak_fps[n0] / n0
+    base_s = strong_fps[n0] / n0
     out["weak_fps"] = {str(n): round(v, 2) for n, v in weak_fps.items()}
     out["strong_fps"] = {str(n): round(v, 2) for n, v in strong_fps.items()}
-    out["weak_eff"] = {str(n): round(weak_fps[n] / (n * base_w), 3)
+    out["weak_eff"] = {str(n): round(weak_fps[n] / n / base_w, 3)
                        for n in weak_fps}
-    out["strong_eff"] = {str(n): round(strong_fps[n] / (n * base_s), 3)
+    out["strong_eff"] = {str(n): round(strong_fps[n] / n / base_s, 3)
                          for n in strong_fps}
     return out

@@ -252,6 +252,21 @@ def _read_evoked(path: Path):
         evoked.info["sfreq"])
 
 
+def interpolation_artifacts(task: InterpTask) -> tuple[Path, Path]:
+    """(potentials, phases) movie paths run_interpolation will produce for
+    `task` — derivable a priori, so shards can agree on the post-S2 trial
+    list before every movie exists (see run_batch)."""
+    name = task.evoked_path.name
+    for suf in ("-ave.csv", "-ave.fif"):
+        if name.endswith(suf):
+            stem = name[: -len(suf)]
+            break
+    else:
+        stem = task.evoked_path.stem
+    return (task.trial_dir / f"{stem}-ave-interpolation_data.csv",
+            task.trial_dir / f"{stem}-ave-interpolation_phases_data.csv")
+
+
 def run_interpolation(task: InterpTask, config, overwrite: bool = False,
                       mesh_cache: dict | None = None, cache_dir=None) -> dict:
     """S2 for one trial: evoked (T, E) -> interpolated vertex movies
@@ -268,15 +283,7 @@ def run_interpolation(task: InterpTask, config, overwrite: bool = False,
     from manifold_flow_tpu.pipeline import stages as S
     from manifold_flow_tpu.utils import io
 
-    name = task.evoked_path.name
-    for suf in ("-ave.csv", "-ave.fif"):
-        if name.endswith(suf):
-            stem = name[: -len(suf)]
-            break
-    else:
-        stem = task.evoked_path.stem
-    art = task.trial_dir / f"{stem}-ave-interpolation_data.csv"
-    art_ph = task.trial_dir / f"{stem}-ave-interpolation_phases_data.csv"
+    art, art_ph = interpolation_artifacts(task)
     if not overwrite and art.exists() and art_ph.exists():
         return {"status": "skipped", "artifact": str(art)}
 
@@ -305,6 +312,17 @@ def run_interpolation(task: InterpTask, config, overwrite: bool = False,
     # name makes it robust.)
     coords, kept = io.load_grid_electrodes(
         task.electrodes_path, group=None, names=names, with_names=True)
+    no_coords = sorted(set(names) - set(kept))
+    if no_coords:
+        # A channel passing the channels.tsv predicate but absent (or
+        # 'n/a') in electrodes.tsv silently shrinks the interpolation
+        # basis — loud, because a typo'd electrode row would otherwise
+        # change every downstream artifact without a trace.
+        logger.warning(
+            "batch: %s: channels %s have no coordinates in %s; "
+            "interpolating from %d of %d selected electrodes",
+            task.key, no_coords, task.electrodes_path.name, len(kept),
+            len(names))
     missing = [n for n in kept if n not in ch_names]
     if missing:
         raise ValueError(
@@ -659,6 +677,7 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
               "shard": [shard_index, num_shards]}
     mesh_cache: dict = {}
     stages = tuple(stages)
+    tasks = []
     if "interpolate" in stages:
         # S2 first: produce the interpolated movies the device stages
         # consume, sharded like trials (same round-robin over the sorted
@@ -675,10 +694,34 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
                     mesh_cache=mesh_cache, cache_dir=cache_dir)
             except Exception as e:  # per-trial isolation
                 logger.exception("batch: interpolation %s failed", task.key)
-                report["errors"][task.key] = f"{type(e).__name__}: {e}"
+                # Namespaced: a later device-stage failure of the same
+                # trial must not overwrite the interpolation error.
+                report["errors"][
+                    f"interpolate:{task.key}"] = f"{type(e).__name__}: {e}"
         stages = tuple(s for s in stages if s != "interpolate")
 
     trials = discover_trials(root, subjects=subjects)
+    # Multi-host consistency: index-based sharding needs every shard to
+    # agree on the trial list, but discover_trials only sees movies that
+    # exist RIGHT NOW — another shard's still-running interpolation would
+    # make shards disagree and silently orphan trials. The evoked task
+    # list IS shard-independent, so merge in the trials every task will
+    # produce (paths derived a priori). A trial whose owning shard hasn't
+    # interpolated yet fails loudly here and completes on the next resume
+    # sweep — never a silent skip. (For long multi-host sweeps, running
+    # stages=('interpolate',) to completion first avoids those transient
+    # errors entirely.)
+    if tasks:
+        have = {t.trial_dir for t in trials}
+        for task in tasks:
+            if task.trial_dir in have:
+                continue
+            movie, phases = interpolation_artifacts(task)
+            trials.append(TrialRef(
+                subject=task.subject, run=task.run, trial=task.trial,
+                trial_dir=task.trial_dir, surface_path=task.surface_path,
+                movie_path=movie, phases_path=phases))
+        trials.sort(key=lambda t: t.key)
     mine = shard_trials(trials, num_shards, shard_index) if stages else []
     report["discovered"] = len(trials)
     # Cross-trial movie prefetch: trial i+1's CSV parses on a worker thread

@@ -207,10 +207,11 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     default on) the movie is re-solved with the refined two-float32 method —
     one bad frame would otherwise quietly corrupt every downstream artifact.
 
-    `timings`, when given, receives sub-wall seconds: 'dispatch' (building +
-    launching the device program), 'solve_wait' (blocking on the converged
-    flags — i.e. the device solve itself), 'artifact_starts' (unpadding +
-    async-fetch starts + writer submits).
+    `timings`, when given, receives sub-wall seconds: 'dispatch' (building
+    + launching the device programs), 'artifact_starts' (the artifact
+    unpad dispatches + async device->host copy starts), 'solve_wait'
+    (blocking on the converged flags — the device solve + in-flight
+    transfers), 'artifact_submits' (queueing the writes).
     """
     import time as _time
 
@@ -274,12 +275,14 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     # device pipeline keeps working while the (T,) flags cross the link.
     v_world = velocity_to_world(res.v_k, mesh.basis)
     speed = world_speed(v_world)
+    tp = _time.perf_counter()
     arts = prep_artifacts(res, speed)
     t1 = _time.perf_counter()
     conv = np.asarray(res.converged)
     t2 = _time.perf_counter()
     if timings is not None:
-        timings["dispatch"] = t1 - t0
+        timings["dispatch"] = tp - t0
+        timings["artifact_starts"] = t1 - tp
         timings["solve_wait"] = t2 - t1
     if not conv.all():
         bad = np.where(~conv)[0]
@@ -333,7 +336,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     if speed_path is not None:
         io.submit_write(writer, _save_pickle_np, speed_path, arts["speed"])
     if timings is not None:
-        timings["artifact_starts"] = _time.perf_counter() - t3
+        timings["artifact_submits"] = _time.perf_counter() - t3
     return VelocityStage(
         v_k=res.v_k, e=np.asarray(mesh.basis),
         v_world=v_world, speed=speed,

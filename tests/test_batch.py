@@ -194,6 +194,69 @@ def test_interpolate_batch_stage(tmp_path):
     assert report2["trials"]["sub-01/run-001/G1-G2"]["flow"] == "skipped"
 
 
+def _write_interp_inputs(root, trial_names, nx=10):
+    """Subject tree with evoked-only trials (no movies yet) + TSVs."""
+    subj = root / "sub-01"
+    mesh = synthetic.plane_patch(
+        nx=nx, ny=nx, lx=8.0, ly=8.0,
+        height=lambda x, y: 0.3 * np.sin(x) * np.cos(y))
+    subj.mkdir(parents=True, exist_ok=True)
+    io.write_ply(subj / "sub-01_reconstructed_surface.ply",
+                 np.asarray(mesh.points), np.asarray(mesh.triangles))
+    (subj / "sub-01_ieeg.json").write_text(
+        json.dumps({"SamplingFrequency": 16}))
+    pts = np.asarray(mesh.points)
+    sel = np.linspace(0, mesh.n_vertices - 1, 6).astype(int)
+    names = [f"G{i + 1}" for i in range(6)]
+    lines = ["name\tx\ty\tz\tgroup"] + [
+        f"{n}\t{pts[v, 0]}\t{pts[v, 1]}\t{pts[v, 2]}\tgrid"
+        for n, v in zip(names, sel)]
+    (subj / "sub-01_electrodes.tsv").write_text("\n".join(lines) + "\n")
+    ch = ["name\ttype\tstatus\tstatus_description\tgroup"] + [
+        f"{n}\tECOG\tgood\tincluded\tgrid" for n in names]
+    (subj / "sub-01_run-001_channels.tsv").write_text("\n".join(ch) + "\n")
+    rng = np.random.default_rng(1)
+    t = np.linspace(0.0, 1.0, 16)
+    for trial in trial_names:
+        td = subj / "run-001" / trial
+        td.mkdir(parents=True, exist_ok=True)
+        data = (np.sin(2 * np.pi * 3 * t)[:, None]
+                + 0.1 * rng.normal(size=(16, 6)))
+        io.save_evoked_csv(
+            td / f"sub-01_ses-1_task-SPESclin_run-001-{trial}-ave.csv",
+            data, names)
+    return mesh
+
+
+def test_interpolate_sharded_trial_list_consistent(tmp_path):
+    """With sharded interpolation, every shard must agree on the post-S2
+    trial list even while other shards' movies don't exist yet: the merged
+    (discovered + expected-from-tasks) list keeps index-based assignment
+    consistent, so no trial is silently orphaned (code-review r4)."""
+    root = tmp_path / "results"
+    _write_interp_inputs(root, ["G1-G2", "G3-G4"])
+    cfg = PipelineConfig()
+    cfg.interpolation.start_time = 0.0
+    cfg.interpolation.end_time = 1.0
+    # Shard 0 interpolates task 0 only; trial G3-G4's movie does NOT exist
+    # at its discovery time — it must still be counted and assigned.
+    r0 = batch.run_batch(root, cfg, stages=("interpolate", "flow"),
+                         num_shards=2, shard_index=0)
+    assert r0["discovered"] == 2
+    assert list(r0["interpolation"]) == ["sub-01/run-001/G1-G2"]
+    assert list(r0["trials"]) == ["sub-01/run-001/G1-G2"]
+    assert r0["errors"] == {}
+    r1 = batch.run_batch(root, cfg, stages=("interpolate", "flow"),
+                         num_shards=2, shard_index=1)
+    assert list(r1["interpolation"]) == ["sub-01/run-001/G3-G4"]
+    assert list(r1["trials"]) == ["sub-01/run-001/G3-G4"]
+    assert r1["errors"] == {}
+    for trial in ("G1-G2", "G3-G4"):
+        td = root / "sub-01" / "run-001" / trial
+        assert (td / f"sub-01_ses-1_task-SPESclin_run-001-{trial}"
+                "-V_k.csv").exists()
+
+
 def test_run_trial_records_timings(results_tree):
     """run_trial fills the caller's timings dict directly (one wall per
     executed stage + a flow sub-breakdown) — the bench consumes this
@@ -207,8 +270,8 @@ def test_run_trial_records_timings(results_tree):
     for s in batch.DEVICE_STAGES:
         assert timings[s] >= 0.0, s
     detail = timings["flow_detail"]
-    for k in ("movie_load", "dispatch", "solve_wait", "artifact_starts",
-              "detect"):
+    for k in ("movie_load", "dispatch", "artifact_starts", "solve_wait",
+              "artifact_submits", "detect"):
         assert detail[k] >= 0.0, k
     # Skipped stages record nothing.
     t2: dict = {}
