@@ -168,6 +168,53 @@ class ConvergenceWarning(UserWarning):
     """A velocity-solve frame failed its residual tolerance."""
 
 
+_FUSED_FLOW_CACHE: dict = {}
+
+
+def _fused_flow_program(mesh: TriMesh, method: str, config: PipelineConfig):
+    """ONE jitted program for the single-device flow stage: solve ->
+    world recombination -> speed map -> device-side artifact unpads.
+
+    Composed eagerly, these are ~6 separate dispatches; on a remote
+    accelerator each pays ~24 ms of call latency (measured r4:
+    ~0.15 s/trial of pure dispatch overhead). The mesh and solver
+    parameters fold in as closure constants — cached per (mesh identity,
+    solver params) with the mesh object pinned in the cache entry, so
+    cohort sweeps (whose shape-bucketed meshes are shared via
+    batch.run_trial's mesh_cache) compile once per bucket."""
+    import jax
+
+    inner = config.solver.inner_tol
+    key = (id(mesh), method, config.solver.lambda_, config.solver.tol,
+           config.solver.max_iter,
+           tuple(inner) if isinstance(inner, (list, tuple)) else inner)
+    hit = _FUSED_FLOW_CACHE.get(key)
+    if hit is not None and hit[0] is mesh:
+        return hit[1]
+    from manifold_flow_tpu.geometry.mesh import (
+        unpad_dof_field_device, unpad_vertex_field_device)
+
+    lam = config.solver.lambda_
+    tol = config.solver.tol
+    max_iter = config.solver.max_iter
+
+    @jax.jit
+    def prog(potentials, times):
+        res = compute_velocity_fields(
+            mesh, potentials, times, lambda_=lam, method=method, tol=tol,
+            inner_tol=inner, max_iter=max_iter)
+        v_world = velocity_to_world(res.v_k, mesh.basis)
+        speed = world_speed(v_world)
+        return (res, v_world, speed,
+                unpad_dof_field_device(mesh, res.v_k),
+                unpad_vertex_field_device(mesh, speed))
+
+    _FUSED_FLOW_CACHE[key] = (mesh, prog)
+    while len(_FUSED_FLOW_CACHE) > 16:
+        _FUSED_FLOW_CACHE.pop(next(iter(_FUSED_FLOW_CACHE)))
+    return prog
+
+
 # The transfer overlaps subsequent device compute, and a later np.asarray
 # (e.g. in an ArtifactWriter worker) completes without issuing a fetch
 # that would contend with new dispatches on a remote backend.
@@ -219,21 +266,37 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
     import jax.numpy as jnp
 
     def run(method):
+        """(res, v_world, speed, vk_art, sp_art) for `method` — the
+        single-device cg/refined path runs as ONE fused program
+        (_fused_flow_program); the sharded and direct-solver paths compose
+        the recombination/unpads as device ops."""
+        if device_mesh is None and method in ("cg", "refined"):
+            return _fused_flow_program(mesh, method, config)(
+                jnp.asarray(potentials), jnp.asarray(times))
         if device_mesh is not None:
             from manifold_flow_tpu.parallel import (
                 sharded_compute_velocity_fields)
 
-            return sharded_compute_velocity_fields(
+            res = sharded_compute_velocity_fields(
                 mesh, jnp.asarray(potentials), jnp.asarray(times),
                 device_mesh, lambda_=config.solver.lambda_,
                 tol=config.solver.tol, max_iter=config.solver.max_iter,
                 inner_tol=config.solver.inner_tol,
                 method=("refined" if method == "refined" else "cg"))
-        return compute_velocity_fields(
-            mesh, jnp.asarray(potentials), jnp.asarray(times),
-            lambda_=config.solver.lambda_, method=method,
-            tol=config.solver.tol, inner_tol=config.solver.inner_tol,
-            max_iter=config.solver.max_iter)
+        else:
+            res = compute_velocity_fields(
+                mesh, jnp.asarray(potentials), jnp.asarray(times),
+                lambda_=config.solver.lambda_, method=method,
+                tol=config.solver.tol, inner_tol=config.solver.inner_tol,
+                max_iter=config.solver.max_iter)
+        from manifold_flow_tpu.geometry.mesh import (
+            unpad_dof_field_device, unpad_vertex_field_device)
+
+        v_world = velocity_to_world(res.v_k, mesh.basis)
+        speed = world_speed(v_world)
+        return (res, v_world, speed,
+                unpad_dof_field_device(mesh, res.v_k),
+                unpad_vertex_field_device(mesh, speed))
 
     # Resolve 'auto' up front (mirrors solve.api): the escalation guard must
     # compare against the method that actually RAN, or an auto->refined run
@@ -244,39 +307,31 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
         method = ("refined" if on_accelerator
                   and jnp.asarray(potentials).dtype == jnp.float64 else "cg")
 
-    def prep_artifacts(res_, speed_):
-        """Dispatch the artifact views ON DEVICE and START their
-        device->host copies.
+    def prep_artifacts(vk_art, sp_art):
+        """Collect the artifact device views and START their device->host
+        copies.
 
-        geometry.mesh.unpad_* return host numpy — each call is a
-        SYNCHRONOUS tunnel fetch that blocked the flow stage for the whole
-        multi-MB transfer (measured r4: 0.27 s of the 0.73 s wall). Here
-        the unpads are device slices and the copies are async: the
-        transfers ride the convergence fetch and the following stages'
-        device time, and the writer worker's np.asarray just waits on the
-        already-running copy. The writer submits stay AFTER the
-        convergence check so an escalation can re-prepare first."""
-        from manifold_flow_tpu.geometry.mesh import (
-            unpad_dof_field_device, unpad_vertex_field_device)
-
+        The unpads are device slices computed inside the fused flow
+        program (host-numpy unpads would each be a SYNCHRONOUS tunnel
+        fetch — measured r4: 0.27 s of the 0.73 s flow wall). Copies are
+        async: the transfers ride the convergence fetch and the following
+        stages' device time, and the writer worker's np.asarray just
+        waits on the already-running copy. The writer submits stay AFTER
+        the convergence check so an escalation can re-prepare first."""
         arts = {}
         if e_path is not None:
             arts["e"] = mesh.basis[: int(mesh.valid_vertices)]
         if v_k_path is not None:
-            arts["v_k"] = unpad_dof_field_device(mesh, res_.v_k)
+            arts["v_k"] = vk_art
         if speed_path is not None:
-            arts["speed"] = unpad_vertex_field_device(mesh, speed_)
+            arts["speed"] = sp_art
         _start_host_copy(*arts.values())
         return arts
 
     t0 = _time.perf_counter()
-    res = run(method)
-    # Dispatch the recombination before the convergence fetch blocks: the
-    # device pipeline keeps working while the (T,) flags cross the link.
-    v_world = velocity_to_world(res.v_k, mesh.basis)
-    speed = world_speed(v_world)
+    res, v_world, speed, vk_art, sp_art = run(method)
     tp = _time.perf_counter()
-    arts = prep_artifacts(res, speed)
+    arts = prep_artifacts(vk_art, sp_art)
     t1 = _time.perf_counter()
     conv = np.asarray(res.converged)
     t2 = _time.perf_counter()
@@ -304,10 +359,8 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
                 f"velocity solve failed tol={config.solver.tol} on "
                 f"{len(bad)} frame(s) [{detail}]; escalating to the refined "
                 "two-float32 solver", ConvergenceWarning, stacklevel=2)
-            res = run("refined")
-            v_world = velocity_to_world(res.v_k, mesh.basis)
-            speed = world_speed(v_world)
-            arts = prep_artifacts(res, speed)  # supersedes the first pass
+            res, v_world, speed, vk_art, sp_art = run("refined")
+            arts = prep_artifacts(vk_art, sp_art)  # supersedes the 1st pass
             conv = np.asarray(res.converged)
         if not conv.all():
             bad = np.where(~conv)[0]
