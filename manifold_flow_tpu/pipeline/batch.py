@@ -432,7 +432,8 @@ def stage_done(trial: TrialRef, stage: str, config=None) -> bool:
 def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
               sfreq: float | None = None, overwrite: bool = False,
               mesh_cache: dict | None = None, cache_dir=None,
-              timings: dict | None = None, movie_data=None) -> dict:
+              timings: dict | None = None, movie_data=None,
+              writer=None) -> dict:
     """Run the requested device stages for one trial; returns
     {stage: 'done' | 'skipped'}. Stage inputs flow in memory; artifacts land
     in the trial directory in the reference's formats.
@@ -446,7 +447,15 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     parsed (an (T, E) array or a concurrent Future of one): run_batch
     prefetches the NEXT trial's CSV while the current trial computes, so
     steady-state cohort sweeps never pay the ~0.2 s parse on the critical
-    path (measured r4, trial_flow_detail.movie_load)."""
+    path (measured r4, trial_flow_detail.movie_load).
+
+    `writer` optionally supplies a SWEEP-SHARED io.ArtifactWriter: this
+    trial's artifact serialization (per-frame bz2 pickles are ~1 s of
+    2-worker compression at reference scale) then overlaps the NEXT
+    trial's device compute instead of draining before returning — the
+    caller owns the drain, and 'done' means the writes are QUEUED, not
+    yet on disk, until the caller's writer.wait(). Without it the trial
+    drains its own writer, so 'done' means files are on disk."""
     from manifold_flow_tpu.pipeline import stages as S
     from manifold_flow_tpu.utils import io
 
@@ -564,8 +573,11 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                                         trial.phases_path)
         # Two workers: the per-frame streamline pkl.bz2 set alone is ~2.5 s
         # of (GIL-releasing) compression at reference scale; a second
-        # thread halves the drain tail after the last device stage.
-        writer = stack.enter_context(io.ArtifactWriter(workers=2))
+        # thread halves the drain tail after the last device stage. A
+        # sweep-shared writer (run_batch) skips the per-trial drain so the
+        # tail rides the next trial's device compute instead.
+        if writer is None:
+            writer = stack.enter_context(io.ArtifactWriter(workers=2))
         for s in todo:
             t0 = time.perf_counter()
             if s == "flow":
@@ -735,8 +747,16 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
         return "flow" in stages and (overwrite
                                      or not stage_done(t, "flow", config))
 
+    # One SWEEP-SHARED artifact writer: trial i's serialization (bz2
+    # pickles, CSVs) overlaps trial i+1's device compute instead of
+    # draining at each trial boundary (~0.85 s/trial at reference scale,
+    # measured r4). The writer drains before run_batch returns, so the
+    # report still means every artifact is on disk; a failed write raises
+    # into whichever trial is running when it surfaces (or at the final
+    # drain) — loud, though possibly attributed one trial late.
     with ThreadPoolExecutor(max_workers=1,
-                            thread_name_prefix="movie-prefetch") as pool:
+                            thread_name_prefix="movie-prefetch") as pool, \
+            io.ArtifactWriter(workers=2) as shared_writer:
         futures: dict = {}
         for i, trial in enumerate(mine):
             if i + 1 < len(mine) and _wants_movie(mine[i + 1]):
@@ -747,8 +767,14 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
                 report["trials"][trial.key] = run_trial(
                     trial, config, stages=stages, sfreq=sfreq,
                     overwrite=overwrite, mesh_cache=mesh_cache,
-                    cache_dir=cache_dir, movie_data=fut)
+                    cache_dir=cache_dir, movie_data=fut,
+                    writer=shared_writer)
             except Exception as e:  # per-trial isolation: record + continue
                 logger.exception("batch: trial %s failed", trial.key)
                 report["errors"][trial.key] = f"{type(e).__name__}: {e}"
+        try:
+            shared_writer.wait()
+        except Exception as e:
+            logger.exception("batch: artifact write failed during drain")
+            report["errors"]["artifact-writer"] = f"{type(e).__name__}: {e}"
     return report
