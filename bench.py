@@ -574,23 +574,25 @@ def bench_trial(mesh, pot, times):
         flow_detail = stage_walls.pop("flow_detail", {})
         res3 = batch.run_trial(trial, cfg, mesh_cache=cache)
 
-        # Steady-state cohort rate: TWO trials through run_batch's
-        # sweep-shared writer (trial 1's artifact serialization overlaps
-        # trial 2's device compute; the final drain is included and
-        # amortized), with the movie prefetch active — the per-trial cost
-        # a long cohort actually pays.
-        td2 = td.parent / "T2"
-        td2.mkdir(exist_ok=True)
-        for f in td.glob("*interpolation*data.csv"):
-            (td2 / f.name).write_bytes(f.read_bytes())
-        cache_dir = root / ".mesh-cache"
+        # Steady-state cohort rate: THREE trials through run_batch's
+        # sweep-shared writer (each trial's artifact serialization overlaps
+        # the next trial's device compute; the final drain is included and
+        # amortized) with the movie prefetch active and the mesh objects
+        # persisted across calls (mesh_cache — the per-mesh compiled
+        # programs key on identity) — the per-trial cost a long cohort
+        # actually pays.
+        for name in ("T2", "T3"):
+            tdn = td.parent / name
+            tdn.mkdir(exist_ok=True)
+            for f in td.glob("*interpolation*data.csv"):
+                (tdn / f.name).write_bytes(f.read_bytes())
         batch.run_batch(root, cfg, overwrite=True,
-                        cache_dir=cache_dir)  # compile/cache warmup
+                        mesh_cache=cache)  # warmup; reuses the trial mesh
         t0 = time.perf_counter()
         rep = batch.run_batch(root, cfg, overwrite=True,
-                              cache_dir=cache_dir)
-        steady = (time.perf_counter() - t0) / 2
-        steady_ok = rep["errors"] == {} and len(rep["trials"]) == 2
+                              mesh_cache=cache)
+        steady = (time.perf_counter() - t0) / 3
+        steady_ok = rep["errors"] == {} and len(rep["trials"]) == 3
 
         return {
             "trial_seconds": round(dt, 2),

@@ -666,7 +666,8 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
               subjects: Sequence[str] | None = None,
               sfreq: float | None = None, overwrite: bool = False,
               num_shards: int | None = None, shard_index: int | None = None,
-              distributed: bool = False, cache_dir=None) -> dict:
+              distributed: bool = False, cache_dir=None,
+              mesh_cache: dict | None = None) -> dict:
     """Run `stages` for every trial under `root` owned by this shard.
 
     distributed=True wires jax.distributed (parallel.multihost) and derives
@@ -674,6 +675,11 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
     num_shards/shard_index reproduce the reference's manual argv sharding.
     Returns {"trials": {key: {stage: status}}, "errors": {key: message},
     "shard": [index, count]}.
+
+    `mesh_cache` optionally persists loaded TriMesh objects ACROSS calls:
+    the per-mesh compiled-program caches (fused flow, boundary tables,
+    coarse tables) key on mesh identity, so a caller sweeping repeatedly
+    should pass one dict to avoid re-tracing per call.
     """
     if distributed:
         from manifold_flow_tpu.parallel import multihost
@@ -687,7 +693,8 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
 
     report = {"trials": {}, "errors": {},
               "shard": [shard_index, num_shards]}
-    mesh_cache: dict = {}
+    if mesh_cache is None:
+        mesh_cache = {}
     stages = tuple(stages)
     tasks = []
     if "interpolate" in stages:
