@@ -789,6 +789,7 @@ def main():
                 _signal.alarm(0)
                 _signal.signal(_signal.SIGALRM, old3)
             extras["trial_seconds_12k"] = tr12["trial_seconds"]
+            extras["trial_steady_seconds_12k"] = tr12["trial_steady_seconds"]
             extras["trial_stage_seconds_12k"] = tr12["trial_stage_seconds"]
             extras["trial_drain_seconds_12k"] = tr12["trial_drain_seconds"]
             extras["trial_12k_ok"] = tr12["trial_ok"]
