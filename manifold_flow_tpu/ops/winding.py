@@ -338,11 +338,6 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
     # U * 14 < S * (300 + 13), i.e. U up to ~20x S — but its vmapped
     # (U, T, N, 2) intermediates must also fit in device memory (a few live
     # at once), so huge unique-center counts fall back to slots.
-    if (u_cap <= _GRID_CHASE_RATIO * s
-            and u_cap * t * pts.shape[0] <= _GRID_MAX_ELEMS):
-        fn = _analyze_movie_grid
-    else:
-        fn = _analyze_movie_slots
     # f64 velocity movies fall to f32 on TPU (emulated f64 runs this
     # program 12x slower for bit-identical integer ring counts — the
     # winding numbers are phase sums far from any rounding edge).
@@ -350,8 +345,43 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
 
     v = jnp.asarray(v_world)
     v = v.astype(analysis_dtype(v.dtype))
-    return fn(mesh, v, jnp.asarray(uniq_p),
-              jnp.asarray(u_idx), jnp.asarray(vmask), max_level=max_level)
+    if u_cap <= _GRID_CHASE_RATIO * s:
+        n = pts.shape[0]
+        if u_cap * t * n <= _GRID_MAX_ELEMS:
+            return _analyze_movie_grid(
+                mesh, v, jnp.asarray(uniq_p), jnp.asarray(u_idx),
+                jnp.asarray(vmask), max_level=max_level)
+        # Memory-capped grid: CHUNK the unique centers so each device call's
+        # (Uc, T, N) intermediates fit, instead of falling all the way to
+        # the per-slot chase-gather path (measured r4 at 12.5k vertices:
+        # 68 uniques tripped the cap and the slots fallback made winding
+        # the slowest analysis stage at that scale). Selection to (T, S)
+        # slots happens on host over the concatenated per-center results.
+        chunk = max(8, (_GRID_MAX_ELEMS // (t * n)) // 8 * 8)
+        cs, ts, wss = [], [], []
+        for lo in range(0, u_cap, chunk):
+            hi = min(lo + chunk, u_cap)
+            pad_to = max(8, -(-(hi - lo) // 8) * 8)
+            ids = np.full(pad_to, uniq_p[0], np.int32)
+            ids[: hi - lo] = uniq_p[lo:hi]
+            cu, tu, wu = _grid_centers_program(mesh, v, jnp.asarray(ids),
+                                               max_level=max_level)
+            cs.append(np.asarray(cu)[: hi - lo])
+            ts.append(np.asarray(tu)[: hi - lo])
+            wss.append(np.asarray(wu)[: hi - lo])
+        cu = np.concatenate(cs)                       # (U, T)
+        tu = np.concatenate(ts)
+        wu = np.concatenate(wss)                      # (U, T, L)
+        ti = np.arange(t)[:, None]
+        counts = np.where(vmask, cu[u_idx, ti], 0).astype(np.int32)
+        types = np.where(vmask, tu[u_idx, ti], 0).astype(np.int32)
+        ws = np.where(vmask[..., None], wu[u_idx, ti], 0.0)
+        return WindingResult(counts=jnp.asarray(counts),
+                             types=jnp.asarray(types),
+                             winding_numbers=jnp.asarray(ws))
+    return _analyze_movie_slots(
+        mesh, v, jnp.asarray(uniq_p), jnp.asarray(u_idx),
+        jnp.asarray(vmask), max_level=max_level)
 
 
 # Measured on chip (97 frames x 3.1k vertices, 16 slots, 43 unique centers):
@@ -387,7 +417,11 @@ def _analyze_movie_slots(mesh, v_world, centers_u, u_idx, valid, max_level):
 
 
 @partial(jax.jit, static_argnames=("max_level",))
-def _analyze_movie_grid(mesh, v_world, centers_u, u_idx, valid, max_level):
+def _grid_centers_program(mesh, v_world, centers_u, max_level):
+    """Per-center winding results over the whole movie: (U, T) counts and
+    types plus (U, T, L) profiles — the grid formulation WITHOUT the
+    slot selection, so memory-capped callers can chunk the center axis
+    (analyze_singularities_movie) and select on host."""
     dtype = v_world.dtype
     t = v_world.shape[0]
     n = v_world.shape[1]
@@ -419,7 +453,14 @@ def _analyze_movie_grid(mesh, v_world, centers_u, u_idx, valid, max_level):
         cnt, typ = jax.vmap(_count_and_type)(w)
         return cnt, typ, w
 
-    cu, tu, wu = jax.vmap(per_center)(tabs)     # (U, T), (U, T), (U, T, L)
+    return jax.vmap(per_center)(tabs)           # (U, T), (U, T), (U, T, L)
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def _analyze_movie_grid(mesh, v_world, centers_u, u_idx, valid, max_level):
+    t = v_world.shape[0]
+    cu, tu, wu = _grid_centers_program(mesh, v_world, centers_u,
+                                       max_level=max_level)
     ti = jnp.arange(t)[:, None]
     counts = cu[u_idx, ti]                      # (T, S)
     types = tu[u_idx, ti]
