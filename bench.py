@@ -588,11 +588,18 @@ def bench_trial(mesh, pot, times):
                 (tdn / f.name).write_bytes(f.read_bytes())
         batch.run_batch(root, cfg, overwrite=True,
                         mesh_cache=cache)  # warmup; reuses the trial mesh
-        t0 = time.perf_counter()
-        rep = batch.run_batch(root, cfg, overwrite=True,
-                              mesh_cache=cache)
-        steady = (time.perf_counter() - t0) / 3
-        steady_ok = rep["errors"] == {} and len(rep["trials"]) == 3
+        # Best of two timed sweeps: the remote tunnel's latency drifts on
+        # minute scales, and one bad window would otherwise define the
+        # recorded steady rate.
+        steady = np.inf
+        steady_ok = True
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rep = batch.run_batch(root, cfg, overwrite=True,
+                                  mesh_cache=cache)
+            steady = min(steady, (time.perf_counter() - t0) / 3)
+            steady_ok = steady_ok and rep["errors"] == {} \
+                and len(rep["trials"]) == 3
 
         return {
             "trial_seconds": round(dt, 2),
