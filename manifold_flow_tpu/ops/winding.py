@@ -345,9 +345,10 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
 
     v = jnp.asarray(v_world)
     v = v.astype(analysis_dtype(v.dtype))
-    if u_cap <= _GRID_CHASE_RATIO * s:
-        n = pts.shape[0]
-        if u_cap * t * n <= _GRID_MAX_ELEMS:
+    n = pts.shape[0]
+    chunk = (_GRID_MAX_ELEMS // (t * n)) // 8 * 8
+    if u_cap <= _GRID_CHASE_RATIO * s and chunk >= 8:
+        if u_cap <= chunk:
             return _analyze_movie_grid(
                 mesh, v, jnp.asarray(uniq_p), jnp.asarray(u_idx),
                 jnp.asarray(vmask), max_level=max_level)
@@ -355,23 +356,29 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
         # (Uc, T, N) intermediates fit, instead of falling all the way to
         # the per-slot chase-gather path (measured r4 at 12.5k vertices:
         # 68 uniques tripped the cap and the slots fallback made winding
-        # the slowest analysis stage at that scale). Selection to (T, S)
-        # slots happens on host over the concatenated per-center results.
-        chunk = max(8, (_GRID_MAX_ELEMS // (t * n)) // 8 * 8)
-        cs, ts, wss = [], [], []
+        # the slowest analysis stage at that scale). When even an 8-center
+        # chunk would exceed the cap (huge T*N), the memory-safe slots
+        # path below takes over. All chunks dispatch first; the fetches
+        # start async and materialize after (each blocking fetch would
+        # otherwise serialize the next chunk's dispatch behind a tunnel
+        # round trip). Selection to (T, S) slots happens on host over the
+        # concatenated per-center results.
+        from manifold_flow_tpu.utils.io import start_host_copy
+
+        parts = []
         for lo in range(0, u_cap, chunk):
             hi = min(lo + chunk, u_cap)
             pad_to = max(8, -(-(hi - lo) // 8) * 8)
             ids = np.full(pad_to, uniq_p[0], np.int32)
             ids[: hi - lo] = uniq_p[lo:hi]
-            cu, tu, wu = _grid_centers_program(mesh, v, jnp.asarray(ids),
-                                               max_level=max_level)
-            cs.append(np.asarray(cu)[: hi - lo])
-            ts.append(np.asarray(tu)[: hi - lo])
-            wss.append(np.asarray(wu)[: hi - lo])
-        cu = np.concatenate(cs)                       # (U, T)
-        tu = np.concatenate(ts)
-        wu = np.concatenate(wss)                      # (U, T, L)
+            out = _grid_centers_program(mesh, v, jnp.asarray(ids),
+                                        max_level=max_level)
+            parts.append((hi - lo, out))
+        for _, out in parts:
+            start_host_copy(*out)
+        cu = np.concatenate([np.asarray(o[0])[:k] for k, o in parts])
+        tu = np.concatenate([np.asarray(o[1])[:k] for k, o in parts])
+        wu = np.concatenate([np.asarray(o[2])[:k] for k, o in parts])
         ti = np.arange(t)[:, None]
         counts = np.where(vmask, cu[u_idx, ti], 0).astype(np.int32)
         types = np.where(vmask, tu[u_idx, ti], 0).astype(np.int32)

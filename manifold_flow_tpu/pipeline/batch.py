@@ -584,11 +584,16 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                 detail: dict = {}
                 m = get_movie()
                 detail["movie_load"] = time.perf_counter() - t0
+                # S3:46 writes e per subject: {subfolder}_e.csv — one file
+                # shared by every trial of the subject, so only the first
+                # trial that finds it missing (or an overwrite sweep)
+                # writes it; writes are atomic (utils.io) so even
+                # concurrent same-path submits stay whole.
+                e_path = trial.surface_path.parent / f"{trial.subject}_e.csv"
                 vel = S.velocity_stage(
                     mesh, m, get_times(m.shape[0]), config,
-                    # S3:46 writes e per subject: {subfolder}_e.csv.
-                    e_path=(trial.surface_path.parent
-                            / f"{trial.subject}_e.csv"),
+                    e_path=(e_path if overwrite or not e_path.exists()
+                            else None),
                     v_k_path=d / names["v_k"],
                     speed_path=d / names["speed"], writer=writer,
                     timings=detail)

@@ -294,9 +294,15 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
 
         v_world = velocity_to_world(res.v_k, mesh.basis)
         speed = world_speed(v_world)
-        return (res, v_world, speed,
-                unpad_dof_field_device(mesh, res.v_k),
-                unpad_vertex_field_device(mesh, speed))
+        # Unpads are device slices, dispatched only when an artifact needs
+        # them (they're no-ops on unpadded meshes, but on padded ones each
+        # is an eager dispatch — wasted when no path was requested). The
+        # fused path gets them for free inside its one program.
+        vk_art = (unpad_dof_field_device(mesh, res.v_k)
+                  if v_k_path is not None else None)
+        sp_art = (unpad_vertex_field_device(mesh, speed)
+                  if speed_path is not None else None)
+        return res, v_world, speed, vk_art, sp_art
 
     # Resolve 'auto' up front (mirrors solve.api): the escalation guard must
     # compare against the method that actually RAN, or an auto->refined run

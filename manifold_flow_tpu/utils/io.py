@@ -139,15 +139,17 @@ def save_indexed_csv(path, data):
 
     np.savetxt over pandas to_csv deliberately: with an explicit
     float_format pandas falls off its fast path and runs ~4x slower than
-    numpy's writer at movie scale (measured r4: 0.18 s vs 0.81 s)."""
+    numpy's writer at movie scale (measured r4: 0.18 s vs 0.81 s).
+    Atomic (temp + rename) — sweep-shared writers may submit the same
+    subject-level artifact (e.csv) from several trials."""
     data = np.asarray(data)
     data = data.reshape(data.shape[0], -1)
     header = "," + ",".join(str(i) for i in range(data.shape[1]))
     rows = np.concatenate(
         [np.arange(data.shape[0])[:, None], data], axis=1)
     fmt = ["%d"] + ["%.18g"] * data.shape[1]
-    np.savetxt(path, rows, delimiter=",", header=header, comments="",
-               fmt=fmt)
+    _atomic_write(path, lambda tmp: np.savetxt(
+        tmp, rows, delimiter=",", header=header, comments="", fmt=fmt))
 
 
 def load_indexed_csv(path):
@@ -279,15 +281,42 @@ def write_freesurfer_surface(path, verts, faces, comment: str = "created"):
     return path
 
 
+def _atomic_target(path):
+    """Unique sibling temp path for write-then-rename: concurrent writers
+    of the SAME artifact (e.g. the per-subject e.csv submitted by several
+    trials of one sweep) each complete a whole file and the last rename
+    wins — never interleaved/truncated content."""
+    import os
+    import threading
+
+    return f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+
+
+def _atomic_write(path, write_fn):
+    import os
+
+    tmp = _atomic_target(path)
+    try:
+        write_fn(tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # pragma: no cover - only on write failure
+            os.unlink(tmp)
+
+
 # -------------------------------------------------------------- pickles ----
 def save_pickle(path, obj, compress: bool | None = None):
     """Pickle, with bz2 compression for .bz2 paths (the reference's
-    `pkl.bz2` artifacts, e.g. S5:316-318)."""
+    `pkl.bz2` artifacts, e.g. S5:316-318). Atomic (temp + rename)."""
     if compress is None:
         compress = str(path).endswith(".bz2")
     opener = bz2.BZ2File if compress else open
-    with opener(path, "wb") as f:
-        pickle.dump(obj, f)
+
+    def write(tmp):
+        with opener(tmp, "wb") as f:
+            pickle.dump(obj, f)
+
+    _atomic_write(path, write)
 
 
 def load_pickle(path, compress: bool | None = None):
@@ -369,10 +398,15 @@ class ArtifactWriter:
                 return
             fn, args, kwargs = job
             try:
-                if self._err is None:  # fail fast, keep draining the queue
-                    fn(*args, **kwargs)
+                # Jobs are independent artifact writes: keep executing
+                # after a failure (a sweep-shared writer queues LATER
+                # TRIALS' artifacts — skipping them would silently lose
+                # files for trials that report 'done'); the FIRST error is
+                # kept and re-raised at submit()/wait().
+                fn(*args, **kwargs)
             except BaseException as e:  # noqa: BLE001 - re-raised in wait()
-                self._err = e
+                if self._err is None:
+                    self._err = e
             finally:
                 self._q.task_done()
 
@@ -385,7 +419,8 @@ class ArtifactWriter:
 
     def wait(self):
         """Block until every submitted write finished; re-raise the first
-        error (subsequent jobs were skipped, not half-applied)."""
+        error (independent later jobs still executed — nothing is
+        half-applied thanks to atomic temp+rename writes)."""
         self._q.join()
         if self._err is not None:
             err, self._err = self._err, None

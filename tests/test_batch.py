@@ -565,7 +565,9 @@ def test_artifact_writer_matches_sync_bytes(tmp_path):
 
 def test_artifact_writer_raises_on_failed_write(tmp_path):
     """A failed background write surfaces on wait()/exit instead of being
-    swallowed; later queued jobs are skipped, not half-applied."""
+    swallowed; independent LATER jobs still execute (a sweep-shared writer
+    queues later trials' artifacts — skipping them would silently lose
+    files for trials that report 'done')."""
     import pytest
 
     from manifold_flow_tpu.utils import io
@@ -578,7 +580,7 @@ def test_artifact_writer_raises_on_failed_write(tmp_path):
     w.submit(io.save_pickle, tmp_path / "later.pkl", {"k": 1})
     with pytest.raises(OSError, match="disk full"):
         w.wait()
-    assert not (tmp_path / "later.pkl").exists()
+    assert io.load_pickle(tmp_path / "later.pkl") == {"k": 1}
     w.close()
 
 
