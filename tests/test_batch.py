@@ -639,3 +639,26 @@ def test_evoked_csv_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, data)
     with pytest.raises(ValueError):
         io.save_evoked_csv(p, data, names[:3])
+
+
+def test_interpolation_fif_without_mne_errors_clearly(tmp_path):
+    """A .fif-only evoked (no portable CSV) needs MNE; in this MNE-free
+    image run_interpolation must surface the ImportError through the batch
+    report instead of crashing the sweep."""
+    root = tmp_path / "results"
+    _write_interp_inputs(root, ["G1-G2"])
+    td = root / "sub-01" / "run-001" / "G1-G2"
+    csvp = next(td.glob("*-ave.csv"))
+    fifp = td / csvp.name.replace("-ave.csv", "-ave.fif")
+    csvp.rename(fifp)  # leave only the .fif form (content irrelevant here)
+    cfg = PipelineConfig()
+    rep = batch.run_batch(root, cfg, stages=("interpolate",))
+    try:
+        import mne  # noqa: F401
+        # Image unexpectedly has MNE: the bogus .fif must still fail loudly.
+        assert rep["errors"], rep
+    except ImportError:
+        key = "interpolate:sub-01/run-001/G1-G2"
+        assert key in rep["errors"], rep
+        assert "mne" in rep["errors"][key].lower() or "Module" in \
+            rep["errors"][key], rep["errors"][key]
