@@ -468,6 +468,14 @@ def bench_scaling(mesh12, hbm_gbps):
     out["scaling_weak_fps"] = meas["weak_fps"]
     out["scaling_strong_fps"] = meas["strong_fps"]
     out["scaling_host_cores"] = meas["physical_cores"]
+    # Self-describing semantics (VERDICT r4 #6): on a host with fewer
+    # physical cores than virtual devices, wall-time strong-scaling
+    # retention measures HOST CORE saturation, not framework efficiency —
+    # flag it so a parser cannot read 0.12@8 as a distributed-solve result.
+    # The framework efficiency claim at real ICI bandwidth is
+    # scaling_eff_pred_* above (bytes-based model, docs/SCALING.md).
+    out["scaling_strong_core_bound"] = (
+        meas["physical_cores"] < max((2, 4, 8)))
     return out
 
 
@@ -572,6 +580,7 @@ def bench_trial(mesh, pot, times, steady_repeats: int = 2):
                               movie_data=movie_pre)
         dt = time.perf_counter() - t0
         flow_detail = stage_walls.pop("flow_detail", {})
+        stream_detail = stage_walls.pop("streamline_detail", {})
         res3 = batch.run_trial(trial, cfg, mesh_cache=cache)
 
         # Steady-state cohort rate: THREE trials through run_batch's
@@ -610,6 +619,8 @@ def bench_trial(mesh, pot, times, steady_repeats: int = 2):
                                     for k, v in stage_walls.items()},
             "trial_flow_detail": {k: round(v, 3)
                                   for k, v in flow_detail.items()},
+            "trial_streamline_detail": {k: round(v, 3)
+                                        for k, v in stream_detail.items()},
             "trial_drain_seconds": round(
                 max(0.0, dt - sum(stage_walls.values())), 2),
             "trial_ok": all(v == "done" for v in res.values()),
@@ -803,6 +814,12 @@ def main():
             extras["trial_steady_seconds_12k"] = tr12["trial_steady_seconds"]
             extras["trial_steady_ok_12k"] = tr12["trial_steady_ok"]
             extras["trial_stage_seconds_12k"] = tr12["trial_stage_seconds"]
+            # Full per-part attribution at the scale that needs it most
+            # (VERDICT r4 #1a): the 12.5k flow wall was multiples of the
+            # benched device solve with the dominant cost unmeasured.
+            extras["trial_flow_detail_12k"] = tr12["trial_flow_detail"]
+            extras["trial_streamline_detail_12k"] = tr12.get(
+                "trial_streamline_detail", {})
             extras["trial_drain_seconds_12k"] = tr12["trial_drain_seconds"]
             extras["trial_12k_ok"] = tr12["trial_ok"]
     except TimeoutError:
@@ -811,7 +828,7 @@ def main():
     except Exception as e:
         extras["trial_12k_error"] = f"{type(e).__name__}"
 
-    print(json.dumps({
+    headline = {
         "metric": "optical_flow_frames_per_sec_per_chip",
         "value": round(fps_tpu, 2),
         "unit": "frames/s",
@@ -820,6 +837,9 @@ def main():
         "rmse_vs_spsolve_normalized": rmse,
         "converged": bool(np.all(np.asarray(res.converged))),
         "cg_iterations": int(res.iterations),
+    }
+    print(json.dumps({
+        **headline,
         "s3_end_to_end_fps": round(s3_fps, 2),
         **{k: (round(val, 2) if isinstance(val, float) else val)
            for k, val in stages.items()},
@@ -829,6 +849,18 @@ def main():
         "n_frames": pot.shape[0] - 1,
         "dtype": np.dtype(dtype).name,
     }))
+    # Truncation-proof headline (VERDICT r4 #2): the driver captures a
+    # fixed-size TAIL of this output, and the full line above grew past it
+    # in r4 — its LEADING headline keys (solve fps, vs_baseline, rmse,
+    # iterations) were silently dropped from the recorded artifact. This
+    # second, compact line repeats the headline plus the key per-round
+    # comparables, so the last ~2000 chars always carry them.
+    for k in ("solve_bw_frac", "fps_12k", "rmse_12k", "trial_steady_seconds",
+              "trial_steady_seconds_12k", "streamline_gather_frac",
+              "fps_391"):
+        if k in extras:
+            headline[k] = extras[k]
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -547,7 +547,7 @@ def _gather_packed(rows: jnp.ndarray, ids: jnp.ndarray,
 
 
 def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
-                   coord_dtype=None):
+                   coord_dtype=None, emit=None):
     """Host-side: a whole movie's masked walks -> per-frame polyline lists.
 
     Equivalent to per-frame `compact` over a (T, N, W) Streamlines, but
@@ -563,7 +563,13 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     of drain-tail compression per trial at reference scale in f64 — and
     the walk data is only f32-accurate anyway (the tracer consumes the f32
     analysis-dtype movie), so the pipeline ships float32 unless
-    reference_quirks asks for the f64 bytes (VERDICT r3 #5)."""
+    reference_quirks asks for the f64 bytes (VERDICT r3 #5).
+
+    `emit(frame_index, lines)`, when given, is called once per frame AS
+    SOON as that frame's polylines exist — pipeline.stages queues each
+    frame's pickle write from the callback so the (GIL-releasing) bz2
+    compression overlaps the remaining frames' assembly instead of
+    starting after the whole movie is built."""
     import numpy as np
 
     pts = np.asarray(mesh.points)
@@ -622,16 +628,42 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
         b_coords, b_offs = packed_coords(vflat, base_ids,
                                          olengths[base_ids])
 
-    out = [[] for _ in range(t)]
-    bi = oi = 0
-    for k, i in enumerate(fids):
-        if in_overlay[k]:
-            line = o_coords[o_offs[oi]: o_offs[oi + 1]]
-            oi += 1
-        else:
-            line = b_coords[b_offs[bi]: b_offs[bi + 1]]
-            bi += 1
-        out[int(i) // n].append(line)
+    # Merge both sources into ONE flat coords array in fids order, then
+    # slice per walk. The previous per-walk Python loop (branch + two-int
+    # slice + int()//n + append) cost ~5 s at 12.5k-mesh scale (530k
+    # qualifying walks on a 2-core host); the merge is two C-speed
+    # element-level copies (np.repeat destination expansion) and the
+    # per-walk work drops to one slice-view creation.
+    lens = olengths[fids].astype(np.int64)                  # (K,)
+    out_offs = np.zeros(len(fids) + 1, np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    if not need.size:
+        flat = b_coords if base_ids.size else pts[:0]
+    elif not base_ids.size:
+        flat = o_coords
+    else:
+        flat = np.empty((int(out_offs[-1]),) + pts.shape[1:], pts.dtype)
+
+        def scatter(src, src_offs, sel):
+            dst_start = out_offs[:-1][sel]
+            ln = lens[sel]
+            shifts = dst_start - src_offs[: len(dst_start)]
+            dest = (np.arange(src.shape[0], dtype=np.int64)
+                    + np.repeat(shifts, ln))
+            flat[dest] = src
+
+        scatter(o_coords, o_offs, in_overlay)
+        scatter(b_coords, b_offs, ~in_overlay)
+
+    offs_l = out_offs.tolist()                  # python ints: faster slicing
+    bounds = np.searchsorted(fr, np.arange(t + 1)).tolist()
+    out = []
+    for k in range(t):
+        a, b = bounds[k], bounds[k + 1]
+        lines = [flat[offs_l[j]: offs_l[j + 1]] for j in range(a, b)]
+        out.append(lines)
+        if emit is not None:
+            emit(k, lines)
     return out
 
 

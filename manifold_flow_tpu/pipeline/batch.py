@@ -642,10 +642,13 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                 # Per-frame files, the reference's layout (S6:258-262): a
                 # consumer globbing t_velocityfields_streamlines_<k>.pkl.bz2
                 # finds one dict {frame: lines} per frame.
+                sdetail: dict = {}
                 S.streamline_stage(
                     mesh, get_velocity(), config,
                     save_path_fmt=str(d / names["streamline_fmt"]),
-                    writer=writer)
+                    writer=writer, timings=sdetail)
+                if timings is not None:
+                    timings["streamline_detail"] = sdetail
             elif s == "winding":
                 # This run's detection pass hands its points (and snapped
                 # centers) over in memory (the pickle may still be queued on

@@ -536,8 +536,17 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
 
 # ------------------------------------------------------------------- S6 ----
 def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
-                     frames=None, save_path_fmt=None, writer=None):
-    """S6: per-frame streamline sets {frame: [polyline, ...]}."""
+                     frames=None, save_path_fmt=None, writer=None,
+                     timings: dict | None = None):
+    """S6: per-frame streamline sets {frame: [polyline, ...]}.
+
+    `timings`, when given, receives sub-wall seconds: 'trace' (the adaptive
+    device tracer incl. its escalation retrace), 'compact' (qualifying-row
+    device fetch + host polyline assembly), 'submit' (queueing the
+    per-frame pickle writes — the bz2 compression itself runs on the
+    writer's workers, landing in the trial's drain/overlap accounting)."""
+    import time as _time
+
     import jax.numpy as jnp
 
     # Device arrays stay on device; frame selection is a device slice.
@@ -549,25 +558,41 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     # would pay the remote-accelerator call latency per frame); the adaptive
     # window keeps the gather volume proportional to the longest actual walk
     # rather than the configured cap.
+    t0 = _time.perf_counter()
     batched = stream_ops.trace_frames_adaptive(
         mesh, vsel,
         max_steps=config.analysis.max_streamline_steps,
         quirks=config.reference_quirks)
+    t1 = _time.perf_counter()
     # compact_frames fetches only the rows that reach min_length (~13% at
     # reference scale) — the walk arrays stay on device otherwise. Polyline
     # coordinates ship as float32 (halving the per-frame pkl.bz2 artifact
     # compression that dominates the trial's writer-drain tail) unless
-    # reference_quirks pins the reference's f64 bytes.
-    per_frame = stream_ops.compact_frames(
-        mesh, batched, min_length=config.analysis.min_streamline_length,
-        coord_dtype=None if config.reference_quirks else np.float32)
+    # reference_quirks pins the reference's f64 bytes. Frames are EMITTED
+    # incrementally (callback) so each frame's pickle write queues while
+    # later frames are still assembling — the compression rides the
+    # assembly instead of landing in one end-of-stage burst.
     out = {}
-    for i, k in enumerate(frames):
-        lines = per_frame[i]
+
+    def emit(i, lines):
+        k = frames[i]
         out[str(k)] = lines
         if save_path_fmt is not None:
             path = save_path_fmt.format(frame=k)
             io.submit_write(writer, io.save_pickle, path, {str(k): lines})
+
+    per_frame = stream_ops.compact_frames(
+        mesh, batched, min_length=config.analysis.min_streamline_length,
+        coord_dtype=None if config.reference_quirks else np.float32,
+        emit=emit)
+    t2 = _time.perf_counter()
+    for i, k in enumerate(frames):
+        if str(k) not in out:
+            emit(i, per_frame[i])
+    if timings is not None:
+        timings["trace"] = t1 - t0
+        timings["compact"] = t2 - t1
+        timings["submit"] = _time.perf_counter() - t2
     return out
 
 
