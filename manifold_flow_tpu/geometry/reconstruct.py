@@ -142,26 +142,41 @@ def _butterfly_position(points, triangles, edge, edge_cells, neighbors,
             pos += w[j] * points[v]
         return pos
 
-    if va == 6 and vb == 6 and interior_a and interior_b:
-        # Regular 8-point butterfly.
+    def regular_stencil():
+        """Classic 8-point butterfly: 1/2 ends, 1/8 wings, -1/16 far wings.
+        A far wing is the third vertex of the triangle ACROSS edge (x, y)
+        from the wing `opp`; where that triangle is missing (boundary), the
+        endpoint substitutes so the stencil stays affine-invariant."""
         c0, c1 = edge_cells[edge]
         w1 = [v for v in triangles[c0] if v not in edge][0]
         w2 = [v for v in triangles[c1] if v not in edge][0]
         pos = 0.5 * (points[a] + points[b]) + 0.125 * (points[w1] + points[w2])
-        for (x, y, wing) in ((a, w1, b), (a, w2, b), (b, w1, a), (b, w2, a)):
-            # Far wings: third vertex of the triangle across edge (x, wing).
-            key = (min(x, wing), max(x, wing))
+        for (x, y, opp) in ((a, w1, b), (a, w2, b), (b, w1, a), (b, w2, a)):
+            key = (min(x, y), max(x, y))
             cells = [c for c in edge_cells.get(key, [])
-                     if y not in triangles[c]]
+                     if opp not in triangles[c]]
             if cells:
-                far = [v for v in triangles[cells[0]] if v != x and v != wing][0]
+                far = [v for v in triangles[cells[0]] if v != x and v != y][0]
                 pos -= 1.0 / 16.0 * points[far]
             else:
                 pos -= 1.0 / 16.0 * points[x]
         return pos
-    if (va == 6 and interior_a) and not (vb == 6 and interior_b):
+
+    if not (interior_a and interior_b):
+        # Interior edge with a boundary endpoint: Zorin's crease rules
+        # require virtual reflected neighbors (and VTK parity is untestable
+        # in this image); the regular stencil with endpoint substitution
+        # for missing far-wing triangles is interpolating and affine-
+        # invariant. The cos-weight ring rule must NOT be used here — a
+        # boundary vertex's one-way ring walk is truncated, and the
+        # truncated stencil does not sum to 1 (caught by
+        # tests/test_butterfly.py::test_all_stencils_affine_invariant).
+        return regular_stencil()
+    if va == 6 and vb == 6:
+        return regular_stencil()
+    if va == 6:
         return irregular_stencil(b, a)
-    if (vb == 6 and interior_b) and not (va == 6 and interior_a):
+    if vb == 6:
         return irregular_stencil(a, b)
     # Both extraordinary: average the two stencils.
     return 0.5 * (irregular_stencil(a, b) + irregular_stencil(b, a))
