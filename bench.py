@@ -527,6 +527,105 @@ def bench_scale_12k(mesh, tol=1e-6, n_frames=98):
     return out
 
 
+def bench_long_movie(mesh, n_frames=392, tol=1e-6, mesh12=None):
+    """The long-trial regime (VERDICT r4 #3): the reference's real trials
+    span ~98-391 frames (S2_interpolate.py:109-110 window->frames math)
+    while every other entry here uses T=97. Exercises, at T=391: the
+    (T, 2N) solve iterate, the flat (T*N) streamline id space + adaptive
+    escalation, and the (U, T, N) winding grid's center-axis chunking
+    (whose chunk arithmetic at T=391 sits near _GRID_MAX_ELEMS — pinned by
+    tests/test_ops_analysis.py). `mesh12` adds a solve-only smoke at the
+    12.5k mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_flow_tpu.geometry import synthetic
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.ops import streamline as stream_ops
+    from manifold_flow_tpu.ops import winding as wind_ops
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+    from manifold_flow_tpu.solve.api import compute_velocity_fields
+
+    pot, times, _ = synthetic.two_source_movie(
+        mesh, sources=((15.0, 15.0), (45.0, 45.0)), n_frames=n_frames,
+        speed=24.0, wavelength=24.0, dt=1.0 / 512.0, dtype=np.float64)
+    t = n_frames - 1
+
+    def step(p, tt):
+        return compute_velocity_fields(
+            mesh, p, tt, lambda_=0.01, method="refined", tol=tol,
+            max_iter=4000)
+
+    run = jax.jit(lambda p, tt: step(p, tt).v_k)
+    potd, timesd = jnp.asarray(pot), jnp.asarray(times)
+    best = _time_program(run, potd, timesd, repeats=2)
+    res = step(potd, timesd)
+    out = {
+        "fps_391": round(t / best, 2),
+        "iters_391": int(res.iterations),
+        "converged_391": bool(np.all(np.asarray(res.converged))),
+    }
+
+    v = jnp.asarray(velocity_to_world(res.v_k, mesh.basis), jnp.float32)
+
+    def trace(vv):
+        return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256)
+
+    jax.block_until_ready(trace(v))
+    best_s = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trace(v))
+        best_s = min(best_s, time.perf_counter() - t0)
+    out["streamline_fps_391"] = round(t / best_s, 2)
+
+    field = jax.jit(lambda vv: sing_ops.detect(mesh, vv))(v)
+    cap = sing_ops.compact_capacity(field)
+    det = sing_ops.compact_detected(mesh, field, capacity=cap)
+    pts_arr = np.zeros((t, cap, 3), np.float32)
+    valid = np.zeros((t, cap), bool)
+    centers = np.zeros((t, cap), np.int32)
+    mpts = np.asarray(mesh.points)
+    vid = np.asarray(det.vertex_ids)
+    vok = np.asarray(det.vertex_valid)
+    iok = np.asarray(det.interior_valid)
+    ipts = np.asarray(det.interior_points)
+    icent = np.asarray(det.interior_centers)
+    for k in range(t):
+        rows = list(mpts[vid[k][vok[k]]]) + list(ipts[k][iok[k]])
+        cent = list(vid[k][vok[k]]) + list(icent[k][iok[k]])
+        rows, cent = rows[:cap], cent[:cap]
+        if rows:
+            pts_arr[k, : len(rows)] = np.stack(rows)
+            valid[k, : len(rows)] = True
+            centers[k, : len(cent)] = cent
+
+    def wind(vv):
+        return wind_ops.analyze_singularities_movie(
+            mesh, vv, pts_arr, valid, max_level=25, centers=centers)
+
+    out["winding_fps_391"] = round(t / _time_program(wind, v), 2)
+    out["winding_unique_391"] = int(len(np.unique(centers[valid])))
+
+    if mesh12 is not None:
+        # 12.5k smoke: T*N = 391 * 12544 leaves the winding grid chunk at
+        # exactly 8 centers (its floor); the solve proves the long iterate.
+        pot12, times12, _ = synthetic.two_source_movie(
+            mesh12, sources=((15.0, 15.0), (45.0, 45.0)), n_frames=n_frames,
+            speed=24.0, wavelength=24.0, dt=1.0 / 512.0, dtype=np.float64)
+
+        def step12(p, tt):
+            return compute_velocity_fields(
+                mesh12, p, tt, lambda_=0.01, method="refined", tol=tol,
+                max_iter=4000)
+
+        run12 = jax.jit(lambda p, tt: step12(p, tt).v_k)
+        p12, t12 = jnp.asarray(pot12), jnp.asarray(times12)
+        best12 = _time_program(run12, p12, t12, repeats=1)
+        out["fps_391_12k"] = round(t / best12, 2)
+    return out
+
+
 def bench_trial(mesh, pot, times, steady_repeats: int = 2):
     """Wall-clock of ONE production trial through the batch driver — all
     device stages (flow, decompose, wavespeed, streamline, winding) against
@@ -761,6 +860,26 @@ def main():
             _signal.signal(_signal.SIGALRM, old2)
     except Exception as e:
         extras["scaling_error"] = f"{type(e).__name__}"
+    try:
+        # Long-trial regime (VERDICT r4 #3): solve + streamline + winding at
+        # the reference's upper frame count T=391, own alarm so a flaky-
+        # tunnel compile blowout degrades to a recorded skip.
+        import signal as _signal
+
+        def _bail4(signum, frame):
+            raise TimeoutError
+
+        old4 = _signal.signal(_signal.SIGALRM, _bail4)
+        _signal.alarm(600)
+        try:
+            extras.update(bench_long_movie(mesh, mesh12=mesh12))
+        finally:
+            _signal.alarm(0)
+            _signal.signal(_signal.SIGALRM, old4)
+    except TimeoutError:
+        extras["long_movie_skipped"] = "600s alarm"
+    except Exception as e:
+        extras["long_movie_error"] = f"{type(e).__name__}"
     try:
         # Soft time budget: the remote compile service is flaky (minutes per
         # program on bad days) and the trial bench compiles the full padded

@@ -162,6 +162,61 @@ def test_winding_movie_chunked_grid_matches(source_setup, monkeypatch):
                                rtol=1e-6, atol=1e-9)
 
 
+def test_winding_chunk_math_at_long_trial_scale():
+    """Pin the grid-chunk arithmetic at the reference's upper frame count
+    (VERDICT r4 #3): T=391 frames at the 12.5k bench mesh leaves the
+    center-axis chunk at EXACTLY 8 — its floor, still >= the minimum bucket
+    so the chunked grid (not the chase-class slots fallback) runs. One more
+    vertex-count doubling drops the chunk below 8 and the dispatcher must
+    fall back to slots; the 3.1k/T=391 case chunks at 48."""
+    cap = winding._GRID_MAX_ELEMS
+
+    def chunk(t, n):
+        return (cap // (t * n)) // 8 * 8
+
+    assert chunk(391, 12544) == 8          # long trial, 12.5k mesh: floor
+    assert chunk(97, 12544) == 48          # r4 production case
+    assert chunk(391, 3136) == 48          # long trial, reference mesh
+    assert chunk(391, 2 * 12544) < 8       # beyond the cap -> slots path
+    # The dispatcher's exact condition (ops/winding.py): grid runs only
+    # while a chunk of >= 8 centers fits the memory cap.
+    for t, n in ((391, 12544), (97, 12544), (391, 3136)):
+        assert chunk(t, n) >= 8
+    assert not chunk(391, 2 * 12544) >= 8
+
+
+def test_winding_movie_chunk_floor_matches(source_setup, monkeypatch):
+    """At the chunk floor (exactly 8 centers per chunk — the T=391 x 12.5k
+    configuration's arithmetic), the chunked grid still matches the
+    one-shot grid; one notch below the floor, the slots fallback runs and
+    matches too."""
+    mesh, _, _, truth, _, v3 = source_setup
+    rng = np.random.default_rng(11)
+    pts = np.asarray(truth)[:1] + rng.normal(0, 1.2, (3, 10, 3))
+    valid = np.ones((3, 10), dtype=bool)
+    want = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:3]), pts, valid, max_level=6)
+    t, n = 3, mesh.n_vertices
+    # chunk == 8 exactly (the floor): 8 <= cap/(t*n) < 16.
+    monkeypatch.setattr(winding, "_GRID_MAX_ELEMS", 8 * t * n)
+    got = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:3]), pts, valid, max_level=6)
+    np.testing.assert_array_equal(np.asarray(want.counts),
+                                  np.asarray(got.counts))
+    np.testing.assert_allclose(np.asarray(want.winding_numbers),
+                               np.asarray(got.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
+    # chunk < 8: the dispatcher must take the memory-safe slots path.
+    monkeypatch.setattr(winding, "_GRID_MAX_ELEMS", 7 * t * n)
+    slots = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3[:3]), pts, valid, max_level=6)
+    np.testing.assert_array_equal(np.asarray(want.counts),
+                                  np.asarray(slots.counts))
+    np.testing.assert_allclose(np.asarray(slots.winding_numbers),
+                               np.asarray(want.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_winding_movie_precomputed_centers_match(source_setup):
     """Passing precomputed snapped centers (the detection stage's device
     output, VERDICT r3 #3) yields results identical to the host-snap path."""
