@@ -261,6 +261,50 @@ def analyze_singularities(mesh: TriMesh, v_world_frame: jnp.ndarray,
     )
 
 
+def snap_and_dedup_centers(mesh: TriMesh, points, valid, centers=None):
+    """Host-side center snap + dedup shared by the single-device and the
+    frames-sharded winding movie paths.
+
+    points: (T, S, 3) fixed-capacity singularity coordinates; valid: (T, S).
+    `centers` (T, S) optionally supplies precomputed snapped center vertex
+    ids (singularity.compact_detected). Returns (uniq_padded (Ucap,) int32 —
+    distinct snapped centers padded to a bucket of 8, and u_idx (T, S) int32
+    mapping each slot to its unique-center row; invalid slots map
+    arbitrarily and must stay masked by the caller)."""
+    import numpy as np
+
+    q = np.asarray(points, dtype=np.float64)
+    t, s = q.shape[0], q.shape[1]
+    vmask = np.asarray(valid, dtype=bool)
+    if centers is not None:
+        centers = np.asarray(centers, dtype=np.int32).reshape(t, s)
+    else:
+        # Host-side snap fallback (resume paths whose singularity points
+        # come from a pickle without centers) via the GEMM distance
+        # expansion: argmin_p |q - p|^2 = argmin_p (|p|^2 - 2 q.p), the
+        # |q|^2 row constant dropped. Float32 throughout — this host class
+        # is 2-core with ~20x slower f64, and the naive (T*S, N, 3)
+        # broadcast costs hundreds of ms at reference scale vs ~10 ms
+        # here. f32 scoring resolves the argmin safely: competing vertices
+        # differ by O(edge length^2) while the f32 error is
+        # ~eps * |coords|^2, orders of magnitude smaller.
+        pts32 = np.asarray(mesh.points, dtype=np.float64).astype(np.float32)
+        q32 = q.reshape(-1, 3).astype(np.float32)
+        pn = (pts32 * pts32).sum(-1)
+        pn[int(mesh.valid_vertices):] = np.inf
+        score = pn[None, :] - 2.0 * (q32 @ pts32.T)
+        centers = score.argmin(axis=1).astype(np.int32).reshape(t, s)
+
+    uniq = np.unique(centers[vmask])
+    u_cap = max(-(-len(uniq) // 8) * 8, 8)
+    uniq_p = np.concatenate(
+        [uniq, np.full(u_cap - len(uniq), uniq[0], np.int32)]).astype(
+            np.int32)
+    u_idx = np.searchsorted(uniq, centers.reshape(-1)).clip(0, len(uniq) - 1)
+    u_idx = u_idx.astype(np.int32).reshape(t, s)  # invalid slots are masked
+    return uniq_p, u_idx
+
+
 def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
                                 max_level: int = 25,
                                 centers=None) -> WindingResult:
@@ -286,9 +330,7 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
     """
     import numpy as np
 
-    pts = np.asarray(mesh.points, dtype=np.float64)
-    q = np.asarray(points, dtype=np.float64)
-    t, s = q.shape[0], q.shape[1]
+    t, s = np.shape(points)[0], np.shape(points)[1]
     vmask = np.asarray(valid, dtype=bool)
     if t * s == 0 or not vmask.any():
         shape = (t, s)
@@ -296,31 +338,9 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
             counts=jnp.zeros(shape, jnp.int32),
             types=jnp.zeros(shape, jnp.int32),
             winding_numbers=jnp.zeros(shape + (max_level,), jnp.float32))
-    if centers is not None:
-        centers = np.asarray(centers, dtype=np.int32).reshape(t, s)
-    else:
-        # Host-side snap fallback (resume paths whose singularity points
-        # come from a pickle without centers) via the GEMM distance
-        # expansion: argmin_p |q - p|^2 = argmin_p (|p|^2 - 2 q.p), the
-        # |q|^2 row constant dropped. Float32 throughout — this host class
-        # is 2-core with ~20x slower f64, and the naive (T*S, N, 3)
-        # broadcast costs hundreds of ms at reference scale vs ~10 ms
-        # here. f32 scoring resolves the argmin safely: competing vertices
-        # differ by O(edge length^2) while the f32 error is
-        # ~eps * |coords|^2, orders of magnitude smaller.
-        pts32 = pts.astype(np.float32)
-        q32 = q.reshape(-1, 3).astype(np.float32)
-        pn = (pts32 * pts32).sum(-1)
-        pn[int(mesh.valid_vertices):] = np.inf
-        score = pn[None, :] - 2.0 * (q32 @ pts32.T)
-        centers = score.argmin(axis=1).astype(np.int32).reshape(t, s)
-
-    uniq = np.unique(centers[vmask])
-    u_cap = max(-(-len(uniq) // 8) * 8, 8)
-    uniq_p = np.concatenate(
-        [uniq, np.full(u_cap - len(uniq), uniq[0], np.int32)]).astype(np.int32)
-    u_idx = np.searchsorted(uniq, centers.reshape(-1)).clip(0, len(uniq) - 1)
-    u_idx = u_idx.astype(np.int32).reshape(t, s)  # invalid slots are masked
+    uniq_p, u_idx = snap_and_dedup_centers(mesh, points, vmask,
+                                           centers=centers)
+    u_cap = len(uniq_p)
     # Two device formulations (identical results):
     #  * grid — profile every (unique center, frame) pair. The sorted-order
     #    gather becomes index-shared across frames (streaming-class on TPU,
@@ -345,7 +365,7 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
 
     v = jnp.asarray(v_world)
     v = v.astype(analysis_dtype(v.dtype))
-    n = pts.shape[0]
+    n = mesh.n_vertices
     chunk = (_GRID_MAX_ELEMS // (t * n)) // 8 * 8
     if u_cap <= _GRID_CHASE_RATIO * s and chunk >= 8:
         if u_cap <= chunk:

@@ -12,6 +12,11 @@ frames (utils/compute_optical_flow.py:152-194, SURVEY.md §2 P1). Here:
     for both the f32/f64 CG path and the two-float32 refined path.
 """
 
+from manifold_flow_tpu.parallel.analysis import (
+    sharded_detect,
+    sharded_wave_velocity,
+    sharded_winding_movie,
+)
 from manifold_flow_tpu.parallel.halo import (
     build_partition,
     halo_compute_velocity_fields,
@@ -36,4 +41,7 @@ __all__ = [
     "measure_scaling",
     "predicted_efficiency",
     "sharded_compute_velocity_fields",
+    "sharded_detect",
+    "sharded_wave_velocity",
+    "sharded_winding_movie",
 ]

@@ -212,3 +212,99 @@ def test_measure_scaling_virtual_mesh():
     assert out["strong_eff"]["1"] == 1.0
     for k, v in {**out["weak_eff"], **out["strong_eff"]}.items():
         assert 0.0 < v <= 1.2, (k, v)  # >1 only from timer noise
+
+
+# ------------------------------------------------ frames-sharded analysis --
+@pytest.fixture(scope="module")
+def analysis_problem():
+    """Velocity movie with detectable singularities for the sharded
+    analysis stages (a curved two-source field has sources + saddles)."""
+    mesh = synthetic.plane_patch(
+        nx=16, ny=16, lx=10.0, ly=10.0,
+        height=lambda x, y: 0.3 * np.sin(0.8 * x) * np.cos(0.6 * y))
+    pot, times, _ = synthetic.two_source_movie(mesh, n_frames=8)
+    res = compute_velocity_fields(mesh, jnp.asarray(pot), jnp.asarray(times),
+                                  method="cg", tol=1e-10)
+    from manifold_flow_tpu.ops.recombine import velocity_to_world
+
+    v3 = np.asarray(velocity_to_world(res.v_k, mesh.basis))
+    return mesh, np.asarray(pot), v3
+
+
+@pytest.mark.parametrize("nf", [8, 4])
+def test_sharded_detect_matches_single_device(analysis_problem, nf):
+    """Per-frame detection sharded over 'frames' (incl. uneven padding at
+    nf=4: 7 frames over 4 shards) equals the single-device op exactly."""
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.parallel import sharded_detect
+
+    mesh, _, v3 = analysis_problem
+    dm = make_device_mesh(nf, 1)
+    want = sing_ops.detect(mesh, jnp.asarray(v3))
+    got = sharded_detect(mesh, jnp.asarray(v3), dm)
+    np.testing.assert_array_equal(np.asarray(want.vertex_mask),
+                                  np.asarray(got.vertex_mask))
+    np.testing.assert_array_equal(np.asarray(want.interior_mask),
+                                  np.asarray(got.interior_mask))
+    np.testing.assert_allclose(np.asarray(want.v_max),
+                               np.asarray(got.v_max), rtol=1e-12)
+    im = np.asarray(want.interior_mask)
+    np.testing.assert_allclose(np.asarray(want.interior_point)[im],
+                               np.asarray(got.interior_point)[im],
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["phase", "amplitude"])
+def test_sharded_wavespeed_matches_single_device(analysis_problem, method):
+    """The temporal stencil couples +-2 frames across shard boundaries;
+    the replicated-stencil + sharded-gradient split must still match the
+    single-device op to rounding."""
+    from manifold_flow_tpu.ops import wavespeed as wave_ops
+    from manifold_flow_tpu.parallel import sharded_wave_velocity
+
+    mesh, pot, _ = analysis_problem
+    dm = make_device_mesh(8, 1)
+    if method == "phase":
+        movie = np.angle(np.exp(1j * pot))
+        want = wave_ops.wave_velocity_phase_mm_per_ms(
+            mesh, jnp.asarray(movie), 1e-3)
+    else:
+        movie = pot
+        want = wave_ops.wave_velocity_amplitude(mesh, jnp.asarray(movie),
+                                                1e-3)
+    got = sharded_wave_velocity(mesh, jnp.asarray(movie), 1e-3, dm,
+                                method=method)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_winding_matches_single_device(analysis_problem):
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.ops import winding
+    from manifold_flow_tpu.parallel import sharded_winding_movie
+
+    mesh, _, v3 = analysis_problem
+    dm = make_device_mesh(8, 1)
+    v = jnp.asarray(v3)
+    field = sing_ops.detect(mesh, v)
+    cap = sing_ops.compact_capacity(field)
+    det = sing_ops.compact_detected(mesh, field, capacity=cap)
+    t = v3.shape[0]
+    pts = np.where(np.asarray(det.interior_valid)[..., None],
+                   np.asarray(det.interior_points), 0.0)
+    valid = np.asarray(det.interior_valid)
+    centers = np.asarray(det.interior_centers)
+    if not valid.any():
+        pytest.skip("no interior singularities detected in fixture")
+    want = winding.analyze_singularities_movie(
+        mesh, v, pts, valid, max_level=6, centers=centers)
+    got = sharded_winding_movie(mesh, v, pts, valid, dm, max_level=6,
+                                centers=centers)
+    np.testing.assert_array_equal(np.asarray(want.counts),
+                                  np.asarray(got.counts))
+    np.testing.assert_array_equal(np.asarray(want.types),
+                                  np.asarray(got.types))
+    np.testing.assert_allclose(np.asarray(want.winding_numbers),
+                               np.asarray(got.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
