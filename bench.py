@@ -125,10 +125,15 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
     # The stage entrypoint (adaptive window + compact escalation retrace):
     # device cost follows the actual walk-length distribution, not the
     # 256-step cap; includes the host-side escalation logic like production.
-    def trace(vv):
-        return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256)
+    plan: dict = {}
 
-    sl = trace(v)  # compile + warmup, and the retrace stats come for free
+    def trace(vv):
+        return stream_ops.trace_frames_adaptive(mesh, vv, max_steps=256,
+                                                plan_out=plan)
+
+    sl = trace(v)   # warmup 1: default schedule; records the length stats
+    jax.block_until_ready(sl)
+    sl = trace(v)   # warmup 2: compiles the stats-planned schedule
     jax.block_until_ready(sl)
     best = np.inf
     for _ in range(3):
@@ -141,19 +146,22 @@ def bench_analysis_stages(mesh, v_world, eps=1e-4):
     out["streamline_retrace_k"] = k
     out["streamline_retrace_w"] = (
         int(sl.overlay_vertices.shape[1] - 1) if k else 0)
+    out["streamline_plan_w1"] = int(plan.get("w1", 16))
+    out["streamline_plan_cap"] = int(plan.get("cap", 0))
 
     # Part attribution (VERDICT r3 #6): the tracer's three stages timed
     # separately — next-hop tables alone, pass 1 (tables + doubling +
-    # first-repeat detection at the initial window), and the full adaptive
-    # trace (adds the escalation retrace dispatch) — so the floor-fraction
-    # gap is attributable instead of a single opaque number.
+    # first-repeat detection at the planned first window), and the full
+    # adaptive trace (adds the escalation retrace dispatch) — so the
+    # floor-fraction gap is attributable instead of a single opaque number.
     boundary = stream_ops.boundary_indices(mesh)
     tables_fn = jax.jit(
         lambda vv: stream_ops._hop_graph(mesh, vv, False, boundary))
     t_tables = _time_program(tables_fn, v)
     t_pass1 = _time_program(
         lambda vv: stream_ops._trace_frames_graph(
-            mesh, vv, max_steps=16, quirks=False, boundary=boundary), v)
+            mesh, vv, max_steps=int(plan.get("w1", 16)), quirks=False,
+            boundary=boundary), v)
     out["streamline_part_tables_ms"] = t_tables * 1e3
     out["streamline_part_double_ms"] = max(t_pass1 - t_tables, 0.0) * 1e3
     out["streamline_part_retrace_ms"] = max(best - t_pass1, 0.0) * 1e3
@@ -664,6 +672,12 @@ def bench_trial(mesh, pot, times, steady_repeats: int = 2):
         cfg = PipelineConfig()
         cache: dict = {}
         batch.run_trial(trial, cfg, mesh_cache=cache)  # compile + warmup
+        # Second streamline-only warmup: the first trace of a mesh records
+        # its walk-length stats and the SECOND compiles the stats-planned
+        # window schedule (ops.streamline._plan_windows) — without this the
+        # planned-schedule compile would land inside the timed trial.
+        batch.run_trial(trial, cfg, stages=("streamline",), overwrite=True,
+                        mesh_cache=cache)
 
         # Per-stage wall times + the flow sub-breakdown come straight from
         # run_trial's timings dict (recorded facts, not scraped log lines).
@@ -822,6 +836,7 @@ def main():
                 streamline_time_s=n_frames / stages["streamline_fps"],
                 winding_time_s=n_frames / stages["winding_fps"],
                 winding_unique=stages["winding_unique_centers"],
+                stream_window=stages.get("streamline_plan_w1", 16),
                 stream_retrace_k=stages["streamline_retrace_k"],
                 stream_retrace_w=stages["streamline_retrace_w"])
             extras.update({k: round(val, 3) for k, val in floors.items()})

@@ -631,7 +631,8 @@ def test_streamline_adaptive_window_matches_fixed(source_setup):
     fv = np.asarray(full.vertices)
     for win in (2, 16, 64):  # 2/16 force the retrace; 64 resolves in one
         ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
-                                               initial_window=win)
+                                               initial_window=win,
+                                               auto_plan=False)
         np.testing.assert_array_equal(np.asarray(ada.lengths), fl)
         av = np.asarray(ada.vertices)
         omap = {}
@@ -688,7 +689,8 @@ def test_streamline_stage_overlay_polylines(source_setup):
         for t in range(2)
     }
     ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
-                                           initial_window=2)
+                                           initial_window=2,
+                                           auto_plan=False)
     n = mesh.n_vertices
     ov_ids = np.asarray(ada.overlay_ids)
     ov_v = np.asarray(ada.overlay_vertices)[: len(ov_ids)]
@@ -710,7 +712,8 @@ def test_compact_frames_matches_per_frame_compact(source_setup):
     mesh, _, _, _, _, v3 = source_setup
     v = jnp.asarray(v3[:2])
     ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
-                                           initial_window=2)
+                                           initial_window=2,
+                                           auto_plan=False)
     got = streamline.compact_frames(mesh, ada, min_length=4)
     n = mesh.n_vertices
     ov_ids = np.asarray(ada.overlay_ids)
@@ -762,3 +765,73 @@ def test_streamline_quirk_changes_boundary_walks():
             np.asarray(mesh.triangles), v, int(seed), quirk=True)
         assert lb[seed] == len(want)
         np.testing.assert_array_equal(verts_b[seed, :len(want)], want)
+
+
+def test_streamline_planned_schedule_matches(source_setup, monkeypatch):
+    """Second trace of a mesh runs the stats-planned schedule (fused
+    device-side seed compaction + pipelined retrace when escalations are
+    expected) — results identical to the full-cap tracer."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:3])
+    monkeypatch.setattr(streamline, "_STATS_CACHE", {})
+    # Zero the dispatch-equivalent constant so the gather-traffic model
+    # picks a genuine two-pass schedule at unit-test scale (with it, one
+    # dispatch outweighs every gather at 1.2k seeds and the plan collapses
+    # to a single wide pass — correct on hardware, untestable here).
+    monkeypatch.setattr(streamline, "_DISPATCH_GATHER_EQUIV", 0.0)
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    fl = np.asarray(full.lengths)
+    p0: dict = {}
+    streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                     initial_window=4, plan_out=p0)
+    assert not p0["planned"]
+    plan: dict = {}
+    ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                           plan_out=plan)
+    assert plan["planned"]
+    np.testing.assert_array_equal(np.asarray(ada.lengths), fl)
+    # Line-set parity through the public compaction path.
+    want = streamline.compact_frames(mesh, full, min_length=4)
+    got = streamline.compact_frames(mesh, ada, min_length=4)
+    for a_f, b_f in zip(want, got):
+        assert len(a_f) == len(b_f)
+        for a, b in zip(a_f, b_f):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_streamline_planned_capacity_overflow(source_setup, monkeypatch):
+    """Stats that underestimate the escalation count force the pipelined
+    pass's seed capacity to overflow; the uncovered tail must escalate
+    through the host loop with exact parity."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:3])
+    n = mesh.n_vertices
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    fl = np.asarray(full.lengths)
+    # Fake histogram: claims almost every walk resolves by 8, a few reach
+    # 100 — plans a small w1 with a tiny escalation cap, while the real
+    # field escalates far more seeds.
+    hist = np.zeros(101, np.int64)
+    hist[4] = 3 * n - 12
+    hist[100] = 12
+    key = (id(mesh.vertex_neighbors), False)
+    monkeypatch.setattr(streamline, "_STATS_CACHE",
+                        {key: (mesh.vertex_neighbors, 3 * n, hist)})
+    # At unit-test scale the dispatch-equivalent constant makes a single
+    # wide pass always win; zero it so the planner picks the two-pass
+    # pipelined schedule this test exists to exercise.
+    monkeypatch.setattr(streamline, "_DISPATCH_GATHER_EQUIV", 0.0)
+    plan: dict = {}
+    ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                           plan_out=plan)
+    assert plan["planned"] and plan["cap"] > 0
+    # The scenario must actually overflow the planned capacity.
+    true_escal = int((fl > plan["w1"]).sum())
+    assert true_escal > plan["cap"], (true_escal, plan)
+    np.testing.assert_array_equal(np.asarray(ada.lengths), fl)
+    want = streamline.compact_frames(mesh, full, min_length=4)
+    got = streamline.compact_frames(mesh, ada, min_length=4)
+    for a_f, b_f in zip(want, got):
+        assert len(a_f) == len(b_f)
+        for a, b in zip(a_f, b_f):
+            np.testing.assert_array_equal(a, b)
