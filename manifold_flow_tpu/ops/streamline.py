@@ -805,14 +805,20 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
         flat = np.asarray(_gather_packed(
             device_rows, jnp.asarray(pos_p),
             jnp.asarray(offs_p), l_cap))[:total]
-        return pts[flat.astype(np.int64)], offsets
+        # np.take keeps the narrow id dtype (no 17.5M-element int64 cast
+        # pass at 12.5k scale, measured ~0.4 s on this host).
+        return np.take(pts, flat, axis=0), offsets
 
     if sl.overlay_ids is not None and len(sl.overlay_ids):
         # Overlay ids ascend (flatnonzero order), so membership and
         # positions vectorize; only the QUALIFYING overlay walks' useful
         # elements cross the link.
         o_ids = np.asarray(sl.overlay_ids)
-        in_overlay = np.isin(fids, o_ids)
+        # Membership via searchsorted (o_ids ascend): np.isin re-sorts both
+        # operands every call.
+        pos = np.searchsorted(o_ids, fids)
+        pos_c = np.minimum(pos, len(o_ids) - 1)
+        in_overlay = o_ids[pos_c] == fids
     else:
         in_overlay = np.zeros(len(fids), bool)
 
@@ -827,39 +833,33 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
         b_coords, b_offs = packed_coords(vflat, base_ids,
                                          olengths[base_ids])
 
-    # Merge both sources into ONE flat coords array in fids order, then
-    # slice per walk. The previous per-walk Python loop (branch + two-int
-    # slice + int()//n + append) cost ~5 s at 12.5k-mesh scale (530k
-    # qualifying walks on a 2-core host); the merge is two C-speed
-    # element-level copies (np.repeat destination expansion) and the
-    # per-walk work drops to one slice-view creation.
-    lens = olengths[fids].astype(np.int64)                  # (K,)
-    out_offs = np.zeros(len(fids) + 1, np.int64)
-    np.cumsum(lens, out=out_offs[1:])
-    if not need.size:
-        flat = b_coords if base_ids.size else pts[:0]
-    elif not base_ids.size:
-        flat = o_coords
-    else:
-        flat = np.empty((int(out_offs[-1]),) + pts.shape[1:], pts.dtype)
-
-        def scatter(src, src_offs, sel):
-            dst_start = out_offs[:-1][sel]
-            ln = lens[sel]
-            shifts = dst_start - src_offs[: len(dst_start)]
-            dest = (np.arange(src.shape[0], dtype=np.int64)
-                    + np.repeat(shifts, ln))
-            flat[dest] = src
-
-        scatter(o_coords, o_offs, in_overlay)
-        scatter(b_coords, b_offs, ~in_overlay)
-
-    offs_l = out_offs.tolist()                  # python ints: faster slicing
+    # Each walk's polyline is a SLICE VIEW of its source's packed coords —
+    # no merged copy. (An earlier r5 version scattered both sources into
+    # one flat array first: an extra ~210 MB fancy-index copy, ~2.2 s of
+    # the compact wall at 12.5k scale on this 2-core host. The per-walk
+    # work here is one list-index + one slice; the old per-walk Python
+    # loop's branch + int()//n + append cost ~5 s.)
+    k_walks = len(fids)
+    starts = np.zeros(k_walks, np.int64)
+    ends = np.zeros(k_walks, np.int64)
+    src_of = in_overlay.view(np.int8)
+    srcs = [None, None]
+    if base_ids.size:
+        srcs[0] = b_coords
+        starts[~in_overlay] = b_offs[:-1]
+        ends[~in_overlay] = b_offs[1:]
+    if need.size:
+        srcs[1] = o_coords
+        starts[in_overlay] = o_offs[:-1]
+        ends[in_overlay] = o_offs[1:]
+    sel_l = src_of.tolist()
+    st_l = starts.tolist()                      # python ints: faster slicing
+    en_l = ends.tolist()
     bounds = np.searchsorted(fr, np.arange(t + 1)).tolist()
     out = []
     for k in range(t):
         a, b = bounds[k], bounds[k + 1]
-        lines = [flat[offs_l[j]: offs_l[j + 1]] for j in range(a, b)]
+        lines = [srcs[sel_l[j]][st_l[j]: en_l[j]] for j in range(a, b)]
         out.append(lines)
         if emit is not None:
             emit(k, lines)
