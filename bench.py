@@ -325,13 +325,27 @@ def bench_yardsticks(chase_size: int):
     trivial = jax.jit(lambda a: a + 1.0)
     out["dispatch_ms"] = _time_program(
         trivial, jnp.float32(1.0), repeats=5) * 1e3
+
+    # Device->host link bandwidth: results crossing back to the host are
+    # necessary traffic for any stage whose algorithm consumes them there
+    # (the adaptive tracer's lengths array, the compaction fetches).
+    # Fresh buffers each rep — jax caches the host copy after a fetch.
+    fb = 1 << 21  # 8 MB of float32
+    bufs = [jax.block_until_ready(jnp.full((fb,), np.float32(i)))
+            for i in range(3)]
+    best_f = np.inf
+    for b in bufs:
+        t0 = time.perf_counter()
+        np.asarray(b)
+        best_f = min(best_f, time.perf_counter() - t0)
+    out["fetch_mbps"] = fb * 4 / best_f / 1e6
     return out
 
 
 def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
                     solve_time_s, streamline_time_s, winding_time_s,
                     winding_unique, stream_window=16, stream_retrace_k=0,
-                    stream_retrace_w=0):
+                    stream_retrace_w=0, stream_pipelined=False):
     """Achieved-vs-ceiling fractions for the three stages whose throughput
     sits furthest above the dispatch floor. Each floor is a documented
     minimal-traffic model priced at the measured yardsticks; frac ~= 1 means
@@ -399,21 +413,40 @@ def floor_fractions(mesh, n_frames, iters, outer_steps, yard,
     }
 
     # Prices pass 1 plus ONE retrace at the recorded final width (the seed
-    # count uses the power-of-two capacity bucket the device actually
-    # gathers over); a rare multi-round escalation executes extra passes
-    # the model does not price, reading as a lower fraction on such runs.
+    # count uses the graded capacity bucket the device actually gathers
+    # over); a rare multi-round escalation executes extra passes the model
+    # does not price, reading as a lower fraction on such runs. The
+    # device->host result fetches (walk lengths + retrace lengths) are
+    # NECESSARY traffic — the patching algorithm consumes them on the
+    # host — priced at the measured link bandwidth. With the r5 pipelined
+    # schedule (stream_pipelined) both dispatches issue back-to-back and
+    # the lengths fetch overlaps the retrace compute, so the floor exposes
+    # ONE dispatch latency and only the fetch time the retrace cannot
+    # hide; the legacy host-driven schedule serializes everything.
+    from manifold_flow_tpu.ops.streamline import _bucket
+
     w1 = stream_window
-    gathers = (w1 - 1) * t * n + int(np.log2(w1)) * t * n + t * n
+    lg = lambda w: int(np.ceil(np.log2(max(w, 1))))  # noqa: E731
+    table_elems = t * (3 * n * d + 2 * n * c + 21 * n)
+    link = yard["fetch_mbps"] * 1e6
+    disp = yard["dispatch_ms"] / 1e3
+    stream_floor = (((w1 - 1) * t * n + lg(w1) * t * n + t * n) / geps
+                    + 4.0 * table_elems / bw)
+    len_fetch = t * n * 2 / link  # int16 lengths
     if stream_retrace_k:
         w2 = stream_retrace_w
-        k_cap = max(8, 1 << int(np.ceil(np.log2(stream_retrace_k))))
+        k_cap = _bucket(stream_retrace_k)
         # Squarings continue from the pass-1 power tables (not re-paid).
-        gathers += ((w2 - 1) * k_cap
-                    + (int(np.log2(w2)) - int(np.log2(w1))) * t * n + k_cap)
-    table_elems = t * (3 * n * d + 2 * n * c + 21 * n)
-    stream_floor = (gathers / geps + 4.0 * table_elems / bw
-                    + (2 if stream_retrace_k else 1)
-                    * yard["dispatch_ms"] / 1e3)
+        retrace = ((w2 - 1) * k_cap + (lg(w2) - lg(w1)) * t * n
+                   + k_cap) / geps
+        ol_fetch = k_cap * 2 / link
+        if stream_pipelined:
+            stream_floor += (retrace + disp + ol_fetch
+                             + max(0.0, len_fetch - retrace))
+        else:
+            stream_floor += retrace + 2 * disp + len_fetch + ol_fetch
+    else:
+        stream_floor += disp + len_fetch
     out["streamline_floor_ms"] = stream_floor * 1e3
     out["streamline_gather_frac"] = stream_floor / streamline_time_s
 
@@ -838,7 +871,8 @@ def main():
                 winding_unique=stages["winding_unique_centers"],
                 stream_window=stages.get("streamline_plan_w1", 16),
                 stream_retrace_k=stages["streamline_retrace_k"],
-                stream_retrace_w=stages["streamline_retrace_w"])
+                stream_retrace_w=stages["streamline_retrace_w"],
+                stream_pipelined=stages.get("streamline_plan_cap", 0) > 0)
             extras.update({k: round(val, 3) for k, val in floors.items()})
     except Exception as e:
         extras["yardsticks_error"] = f"{type(e).__name__}"

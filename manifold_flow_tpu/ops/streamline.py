@@ -517,7 +517,7 @@ def _plan_windows(mesh: TriMesh, quirks: bool, t: int, n: int,
         w = w1
         while k >= 0.5 and w < max_steps:
             w2 = next_window(w)
-            cap_r = _bucket(k * 1.15 + 32)
+            cap_r = _bucket(k * 1.05 + 32)
             cost += (cap_r * (w2 - 1) + (log2c(w2) - log2c(w)) * t * n
                      + cap_r + _DISPATCH_GATHER_EQUIV)
             k = beyond(w2)
@@ -529,7 +529,7 @@ def _plan_windows(mesh: TriMesh, quirks: bool, t: int, n: int,
     if k1 < 0.5 or w1 >= max_steps:
         return {"w1": w1, "w2": 0, "cap": 0, "planned": True}
     return {"w1": w1, "w2": next_window(w1),
-            "cap": min(_bucket(k1 * 1.15 + 32), t * n), "planned": True}
+            "cap": min(_bucket(k1 * 1.05 + 32), t * n), "planned": True}
 
 
 def trace_frames(mesh: TriMesh, v_world: jnp.ndarray,
@@ -614,22 +614,29 @@ def trace_frames_adaptive(mesh: TriMesh, v_world, max_steps: int = 128,
             mesh, v_world, max_steps=w1, quirks=quirks, boundary=boundary,
             cap=cap)
         ov, ol_d, pows = _trace_seeds(pows, seeds_d, n=n, max_steps=w2)
-        start_host_copy(sl.lengths, seeds_d, count_d, ol_d)
+        # Only the lengths + retrace-lengths cross the link: the seed ids
+        # and count re-derive on host from lengths (flatnonzero ascends
+        # exactly like the device compaction's stable argsort), saving two
+        # fetch round trips per trace. `seeds_d`/`count_d` exist solely to
+        # feed the retrace dispatch without host involvement.
+        del seeds_d, count_d
+        start_host_copy(sl.lengths, ol_d)
         lengths = np.asarray(sl.lengths)
-        count = int(count_d)
+        all_unres = np.flatnonzero(
+            lengths.ravel() == w1 + 1).astype(np.int32)
+        count = all_unres.size
         if count == 0:
             record(lengths)
             return sl
         k = min(count, cap)
-        ids = np.asarray(seeds_d)[:k]
+        ids = all_unres[:k]
         ol = np.asarray(ol_d)[:k]
         rounds.append((ids, ov, ol))
         active = ids[ol == w2 + 1]
         if count > cap:
             # Stats-derived capacity overflowed (distribution shifted):
             # the uncovered tail escalates through the host-driven loop.
-            extra = np.flatnonzero(
-                lengths.ravel() == w1 + 1).astype(np.int32)[cap:]
+            extra = all_unres[cap:]
             cap_e = _bucket(extra.size)
             seeds_e = np.full(cap_e, extra[0], np.int32)
             seeds_e[: extra.size] = extra
