@@ -433,7 +433,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
               sfreq: float | None = None, overwrite: bool = False,
               mesh_cache: dict | None = None, cache_dir=None,
               timings: dict | None = None, movie_data=None,
-              writer=None) -> dict:
+              writer=None, device_mesh=None) -> dict:
     """Run the requested device stages for one trial; returns
     {stage: 'done' | 'skipped'}. Stage inputs flow in memory; artifacts land
     in the trial directory in the reference's formats.
@@ -448,6 +448,13 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
     prefetches the NEXT trial's CSV while the current trial computes, so
     steady-state cohort sweeps never pay the ~0.2 s parse on the critical
     path (measured r4, trial_flow_detail.movie_load).
+
+    `device_mesh` optionally runs the trial MULTI-CHIP: the solve
+    (sharded_compute_velocity_fields over ('frames', 'mesh')), detection,
+    wave speeds, and the winding profile grid all shard their frame axis
+    (parallel.analysis); only the streamline tracer stays single-device
+    (its adaptive escalation is a data-dependent host loop). Results match
+    the single-device trial (solver to tolerance; analysis exactly).
 
     `writer` optionally supplies a SWEEP-SHARED io.ArtifactWriter: this
     trial's artifact serialization (per-frame bz2 pickles are ~1 s of
@@ -596,12 +603,12 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                             else None),
                     v_k_path=d / names["v_k"],
                     speed_path=d / names["speed"], writer=writer,
-                    timings=detail)
+                    timings=detail, device_mesh=device_mesh)
                 t_det = time.perf_counter()
                 sing_pts, _, sing_centers = S.singularity_stage(
                     mesh, get_velocity(), config,
                     save_path=d / names["singularity"], writer=writer,
-                    return_centers=True)
+                    return_centers=True, device_mesh=device_mesh)
                 detail["detect"] = time.perf_counter() - t_det
                 if timings is not None:
                     timings["flow_detail"] = detail
@@ -637,7 +644,7 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                 f = get_sfreq()
                 S.wavespeed_stage(mesh, m, dt=1.0 / f if f else 1.0,
                                   method=method, save_path=d / names[s],
-                                  writer=writer)
+                                  writer=writer, device_mesh=device_mesh)
             elif s == "streamline":
                 # Per-frame files, the reference's layout (S6:258-262): a
                 # consumer globbing t_velocityfields_streamlines_<k>.pkl.bz2
@@ -659,7 +666,8 @@ def run_trial(trial: TrialRef, config, stages: Sequence[str] = DEVICE_STAGES,
                        else io.load_pickle(d / names["singularity"]))
                 S.winding_stage(mesh, get_velocity(), pts, config,
                                 save_path=d / names["winding"],
-                                writer=writer, centers=sing_centers)
+                                writer=writer, centers=sing_centers,
+                                device_mesh=device_mesh)
             else:
                 raise ValueError(f"unknown batch stage {s!r}")
             result[s] = "done"
@@ -675,7 +683,7 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
               sfreq: float | None = None, overwrite: bool = False,
               num_shards: int | None = None, shard_index: int | None = None,
               distributed: bool = False, cache_dir=None,
-              mesh_cache: dict | None = None) -> dict:
+              mesh_cache: dict | None = None, device_mesh=None) -> dict:
     """Run `stages` for every trial under `root` owned by this shard.
 
     distributed=True wires jax.distributed (parallel.multihost) and derives
@@ -783,7 +791,7 @@ def run_batch(root, config, stages: Sequence[str] = DEVICE_STAGES,
                     trial, config, stages=stages, sfreq=sfreq,
                     overwrite=overwrite, mesh_cache=mesh_cache,
                     cache_dir=cache_dir, movie_data=fut,
-                    writer=shared_writer)
+                    writer=shared_writer, device_mesh=device_mesh)
             except Exception as e:  # per-trial isolation: record + continue
                 logger.exception("batch: trial %s failed", trial.key)
                 report["errors"][trial.key] = f"{type(e).__name__}: {e}"

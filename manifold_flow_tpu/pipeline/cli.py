@@ -263,12 +263,17 @@ def cmd_batch(args):
     from manifold_flow_tpu.pipeline import batch
 
     cfg = _load_config(args)
+    device_mesh = None
+    if getattr(args, "frame_shards", None):
+        from manifold_flow_tpu.parallel import make_device_mesh
+
+        device_mesh = make_device_mesh(args.frame_shards, 1)
     report = batch.run_batch(
         args.root, cfg, stages=tuple(args.stages),
         subjects=args.subjects or None, sfreq=args.sfreq,
         overwrite=args.overwrite, num_shards=args.num_shards,
         shard_index=args.shard_index, distributed=args.distributed,
-        cache_dir=args.cache_dir)
+        cache_dir=args.cache_dir, device_mesh=device_mesh)
     print(json.dumps({"stage": "batch", **report}))
     if report["errors"]:
         return 1
@@ -455,6 +460,11 @@ def build_parser():
                          "process_index/process_count")
     sp.add_argument("--cache-dir", default=None,
                     help="geometry-precompute cache directory")
+    sp.add_argument("--frame-shards", type=int, default=None,
+                    help="run each trial MULTI-CHIP: shard the frame axis "
+                         "of the solve + analysis stages over this many "
+                         "devices (parallel.analysis; streamlines stay "
+                         "single-device)")
     sp.set_defaults(func=cmd_batch)
 
     sp = sub.add_parser("demo", help="synthetic end-to-end run + validation")

@@ -406,7 +406,7 @@ def velocity_stage(mesh: TriMesh, potentials, times, config: PipelineConfig,
 def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
                       classify: bool = False, save_path=None,
                       classification_path=None, writer=None,
-                      return_centers: bool = False):
+                      return_centers: bool = False, device_mesh=None):
     """S3 detection: per-frame singularity lists (+ classification).
 
     Returns (points_per_frame, labels_per_frame) where labels are
@@ -429,9 +429,17 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     v = v.astype(analysis_dtype(v.dtype))
     # One fused device program + one two-int fetch: the capacity sizing
     # (a full mask fetch would cost ~1 MB over a remote link) is shared by
-    # the device compaction and the classify program.
-    field, counts = sing_ops.detect_with_counts(mesh, v,
-                                                eps=config.solver.eps)
+    # the device compaction and the classify program. With a device_mesh
+    # the detection map shards over 'frames' (parallel.analysis) and the
+    # counts reduce in a second dispatch.
+    if device_mesh is not None:
+        from manifold_flow_tpu.parallel import sharded_detect
+
+        field = sharded_detect(mesh, v, device_mesh, eps=config.solver.eps)
+        counts = jnp.stack(sing_ops.detection_counts(field))
+    else:
+        field, counts = sing_ops.detect_with_counts(mesh, v,
+                                                    eps=config.solver.eps)
     counts = np.asarray(counts)
     cap = -(-max(int(counts[0]), int(counts[1]), 1) // 8) * 8
     if classify:
@@ -506,7 +514,7 @@ def decompose_stage(v_k, config: PipelineConfig, mode: str = "concat",
 
 # ------------------------------------------------------------------- S5 ----
 def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
-                    save_path=None, writer=None):
+                    save_path=None, writer=None, device_mesh=None):
     """S5: wave speeds from an amplitude or phase movie (T, N).
 
     On a padded mesh, an unpadded movie is zero-extended for the device
@@ -518,7 +526,13 @@ def wavespeed_stage(mesh: TriMesh, movie, dt: float, method: str = "phase",
     from manifold_flow_tpu.geometry.mesh import unpad_vertex_field_device
 
     m = jnp.asarray(pad_vertex_field(mesh, movie))
-    if method == "phase":
+    if device_mesh is not None:
+        # Frames-sharded variant (parallel.analysis): same outputs, frame
+        # axis distributed; the method check happens inside.
+        from manifold_flow_tpu.parallel import sharded_wave_velocity
+
+        ws = sharded_wave_velocity(mesh, m, dt, device_mesh, method=method)
+    elif method == "phase":
         ws = wave_ops.wave_velocity_phase_mm_per_ms(mesh, m, dt)
     elif method == "amplitude":
         ws = wave_ops.wave_velocity_amplitude(mesh, m, dt)
@@ -599,7 +613,7 @@ def streamline_stage(mesh: TriMesh, v_world, config: PipelineConfig,
 # ------------------------------------------------------------------- S7 ----
 def winding_stage(mesh: TriMesh, v_world, singularity_points,
                   config: PipelineConfig, save_path=None, writer=None,
-                  centers=None):
+                  centers=None, device_mesh=None):
     """S7: winding-line extents {frame: [[coord, ring_count, type], ...]}.
 
     `centers` optionally carries the detection stage's per-frame snapped
@@ -641,10 +655,19 @@ def winding_stage(mesh: TriMesh, v_world, singularity_points,
                     centers_arr[t, : caps[t]] = np.asarray(centers[t])
         # Unique-center dedup: ring tables (BFS + polar sort) are built once
         # per distinct snapped center, not once per (frame, singularity).
-        res = wind_ops.analyze_singularities_movie(
-            mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
-            max_level=config.analysis.max_winding_level,
-            centers=centers_arr)
+        # With a device_mesh the profile grid shards its frame axis.
+        if device_mesh is not None:
+            from manifold_flow_tpu.parallel import sharded_winding_movie
+
+            res = sharded_winding_movie(
+                mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
+                device_mesh, max_level=config.analysis.max_winding_level,
+                centers=centers_arr)
+        else:
+            res = wind_ops.analyze_singularities_movie(
+                mesh, jnp.asarray(v[:n_frames]), pts_arr, valid,
+                max_level=config.analysis.max_winding_level,
+                centers=centers_arr)
         io.start_host_copy(res.counts, res.types)
         counts = np.asarray(res.counts)
         types = np.asarray(res.types)

@@ -662,3 +662,51 @@ def test_interpolation_fif_without_mne_errors_clearly(tmp_path):
         assert key in rep["errors"], rep
         assert "mne" in rep["errors"][key].lower() or "Module" in \
             rep["errors"][key], rep["errors"][key]
+
+
+def test_multichip_trial_matches_single_device(tmp_path):
+    """run_trial(device_mesh=...) runs the solve + detection + wave speeds +
+    winding frames-sharded over the virtual 8-device mesh and must produce
+    the same artifact set with matching content: wave speeds exactly (they
+    depend only on the phases CSV), V_k to solver tolerance, singularity
+    and winding artifacts structurally equal."""
+    from manifold_flow_tpu.parallel import make_device_mesh
+
+    root, tdir, stem = _reference_style_tree(tmp_path, n_frames=9)
+    trial = batch.discover_trials(root)[0]
+    cfg = PipelineConfig()
+    res1 = batch.run_trial(trial, cfg)
+    assert all(v == "done" for v in res1.values())
+    names = batch.artifact_names(batch.trial_prefix(trial))
+    single = {
+        "v_k": io.load_indexed_csv(tdir / names["v_k"]),
+        "sing": io.load_pickle(tdir / names["singularity"]),
+        "wave": io.load_pickle(tdir / names["wavespeed"]),
+        "wind": io.load_pickle(tdir / names["winding"]),
+    }
+
+    dm = make_device_mesh(8, 1)
+    res2 = batch.run_trial(trial, cfg, overwrite=True, device_mesh=dm)
+    assert all(v == "done" for v in res2.values())
+    # Sharded CG reductions associate differently: solutions agree to the
+    # solver tolerance scaled by the system's conditioning, not to ulps.
+    scale = np.abs(single["v_k"]).max()
+    np.testing.assert_allclose(
+        io.load_indexed_csv(tdir / names["v_k"]), single["v_k"],
+        rtol=2e-3, atol=2e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(io.load_pickle(tdir / names["wavespeed"])),
+        np.asarray(single["wave"]), rtol=1e-10, atol=1e-12)
+    sing2 = io.load_pickle(tdir / names["singularity"])
+    assert len(sing2) == len(single["sing"])
+    for a, b in zip(sing2, single["sing"]):
+        assert len(a) == len(b)
+        if len(a):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+    wind2 = io.load_pickle(tdir / names["winding"])
+    assert set(wind2) == set(single["wind"])
+    for k in wind2:
+        assert len(wind2[k]) == len(single["wind"][k])
+        for r2, r1 in zip(wind2[k], single["wind"][k]):
+            assert (r2[1], r2[2]) == (r1[1], r1[2])  # ring count, type
