@@ -39,6 +39,41 @@ class VelocityResult(NamedTuple):
     converged: jnp.ndarray   # (T-1,) bool per frame
 
 
+def _chunked_velocity_fields(mesh: TriMesh, potentials, times,
+                             chunk: int, kwargs: dict) -> VelocityResult:
+    """Long-movie solve as contiguous (chunk+1)-frame windows sequenced by
+    ONE lax.map program (see compute_velocity_fields(frame_chunk=...)).
+
+    The last window shifts back to end exactly at the movie's end; its
+    overlap re-solves a few frames whose duplicates are dropped at
+    assembly. Each chunk runs the full solver (its own convergence loop),
+    so per-chunk iteration counts differ — `iterations` reports the max."""
+    import jax
+    import numpy as np
+
+    t_v = potentials.shape[0] - 1
+    c = int(chunk)
+    n_chunks = -(-t_v // c)
+    starts = np.minimum(np.arange(n_chunks) * c, t_v - c).astype(np.int32)
+
+    def body(s):
+        p_c = jax.lax.dynamic_slice_in_dim(potentials, s, c + 1, 0)
+        t_c = jax.lax.dynamic_slice_in_dim(times, s, c + 1, 0)
+        res = compute_velocity_fields(mesh, p_c, t_c, frame_chunk=None,
+                                      **kwargs)
+        return res.v_k, res.iterations, res.residual, res.converged
+
+    v, iters, resid, conv = jax.lax.map(body, jnp.asarray(starts))
+    # Frame k comes from chunk j = min(k // c, n_chunks - 1) at local
+    # offset k - starts[j] — static indices, one constant-index gather.
+    k = np.arange(t_v)
+    cj = np.minimum(k // c, n_chunks - 1)
+    lo = jnp.asarray((k - starts[cj]).astype(np.int32))
+    cj = jnp.asarray(cj.astype(np.int32))
+    return VelocityResult(v[cj, lo], mesh.basis, jnp.max(iters),
+                          resid[cj, lo], conv[cj, lo])
+
+
 def build_rhs(mesh: TriMesh, operator: FlowOperator, potentials: jnp.ndarray,
               times: jnp.ndarray, potentials_next: jnp.ndarray | None = None
               ) -> jnp.ndarray:
@@ -49,6 +84,14 @@ def build_rhs(mesh: TriMesh, operator: FlowOperator, potentials: jnp.ndarray,
     dt = (times[1:] - times[:-1])[:, None]
     di = (nxt[1:] - potentials[:-1]) / dt
     return assembly.rhs_vector(mesh, operator.g, di)
+
+
+# Frame-chunked solving for long movies (see compute_velocity_fields):
+# chunks of ~FRAME_CHUNK_SIZE velocity frames keep XLA's fusion of the
+# (T, 2N) iterate at its measured sweet spot; movies longer than
+# FRAME_CHUNK_AUTO_MIN chunk automatically (frame_chunk='auto').
+FRAME_CHUNK_SIZE = 104
+FRAME_CHUNK_AUTO_MIN = 160
 
 
 def compute_velocity_fields(
@@ -68,6 +111,7 @@ def compute_velocity_fields(
     coarse_a1: str = "full",
     inner_tol=DEFAULT_INNER_TOL,
     anchor_stride: int = 1,
+    frame_chunk="auto",
 ) -> VelocityResult:
     """Solve (a1_k + lambda a2) V_k = f_k for every frame k.
 
@@ -113,6 +157,13 @@ def compute_velocity_fields(
         anchors. Measured a net LOSS on single-chip at reference scale
         (small-batch iterations are overhead-bound, not bandwidth-bound);
         kept for large-mesh/multi-chip regimes. 1 (default) disables.
+      frame_chunk: 'auto' (default) solves movies longer than
+        FRAME_CHUNK_AUTO_MIN velocity frames in FRAME_CHUNK_SIZE-frame
+        chunks sequenced by one lax.map program (the reference's real
+        trials span up to ~391 frames, where the one-shot batched solve is
+        measurably slower per frame); an int forces that chunk size; None
+        disables. Frames are independent, so results match the unchunked
+        solve to the requested tolerance.
     """
     potentials = jnp.asarray(potentials)
     times = jnp.asarray(times, dtype=potentials.dtype)
@@ -126,6 +177,29 @@ def compute_velocity_fields(
             f"got {times.shape}")
     if potentials.shape[0] < 2:
         raise ValueError("need at least 2 frames to form a velocity field")
+
+    # Long movies solve in frame chunks sequenced by ONE lax.map program:
+    # measured on chip at 3.1k vertices, the per-frame cost of the batched
+    # solve grows superlinearly with the frame axis (0.40 ms/frame at T=97,
+    # 0.60 at 195, 0.78 at 391 — XLA's fusion/tiling of the (T, 2N) iterate
+    # degrades at large T), so a T=391 movie runs ~35% faster as four
+    # ~100-frame chunks inside one dispatch. Frames are independent
+    # systems; each chunk converges to the same tolerance.
+    t_v = potentials.shape[0] - 1
+    if frame_chunk == "auto":
+        chunk = (FRAME_CHUNK_SIZE
+                 if t_v > FRAME_CHUNK_AUTO_MIN and potentials_next is None
+                 else None)
+    else:
+        chunk = frame_chunk
+    if chunk and t_v > chunk and potentials_next is None:
+        return _chunked_velocity_fields(
+            mesh, potentials, times, int(chunk), dict(
+                lambda_=lambda_, method=method, tol=tol, max_iter=max_iter,
+                precise_dots=precise_dots, refine_steps=refine_steps,
+                batch_size=batch_size, precond=precond,
+                coarse_passes=coarse_passes, coarse_a1=coarse_a1,
+                inner_tol=inner_tol, anchor_stride=anchor_stride))
     if method == "auto":
         import jax
 

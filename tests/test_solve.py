@@ -176,3 +176,34 @@ def test_plane_wave_velocity_direction(curved_mesh):
     # amplitude spread but require direction.)
     assert np.mean(vx) > 0
     assert np.abs(np.mean(vy)) < 0.2 * np.abs(np.mean(vx))
+
+
+def test_frame_chunked_solve_matches_unchunked(curved_mesh):
+    """frame_chunk solves a long movie as overlapping windows in one
+    lax.map program; frames are independent, so results match the one-shot
+    batched solve to solver tolerance (incl. the shifted last window whose
+    overlap frames re-solve and drop)."""
+    from manifold_flow_tpu.geometry import synthetic
+    from manifold_flow_tpu.solve.api import compute_velocity_fields
+
+    pot, times = synthetic.plane_wave_movie(curved_mesh, n_frames=12)
+    pot, times = jnp.asarray(pot), jnp.asarray(times)
+    want = compute_velocity_fields(curved_mesh, pot, times, method="cg",
+                                   tol=1e-12, frame_chunk=None)
+    got = compute_velocity_fields(curved_mesh, pot, times, method="cg",
+                                  tol=1e-12, frame_chunk=4)
+    assert got.v_k.shape == want.v_k.shape
+    assert bool(jnp.all(got.converged))
+    np.testing.assert_allclose(np.asarray(got.v_k), np.asarray(want.v_k),
+                               rtol=1e-8, atol=1e-10)
+    # refined path chunks too
+    want_r = compute_velocity_fields(curved_mesh, pot, times,
+                                     method="refined", tol=1e-8,
+                                     frame_chunk=None)
+    got_r = compute_velocity_fields(curved_mesh, pot, times,
+                                    method="refined", tol=1e-8,
+                                    frame_chunk=4)
+    # f32 inner solves take different trajectories per chunk grouping;
+    # agreement is at the refined solver's delivered accuracy (~1e-5 gate).
+    np.testing.assert_allclose(np.asarray(got_r.v_k), np.asarray(want_r.v_k),
+                               rtol=1e-5, atol=1e-7)
