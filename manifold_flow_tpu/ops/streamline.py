@@ -451,8 +451,12 @@ _STATS_CACHE: dict = {}
 # elements at the measured ~0.11 Ge/s chase throughput — the constant that
 # trades extra escalation rounds against wider first passes.
 _DISPATCH_GATHER_EQUIV = 2.5e6
-_WINDOW_CANDIDATES = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
-                      512, 768, 1024)
+# Powers of two ONLY: _double_and_detect materializes power-of-two column
+# counts and truncates, so a width-12 window pays the same device gathers
+# as width 16 while covering fewer walks — non-pow2 candidates can never
+# genuinely win (they looked cheaper under the old (w-1) pricing and biased
+# the planner toward schedules with extra escalation rounds).
+_WINDOW_CANDIDATES = (8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 def _record_stats(mesh: TriMesh, quirks: bool, lengths) -> None:

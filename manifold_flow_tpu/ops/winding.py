@@ -305,6 +305,23 @@ def snap_and_dedup_centers(mesh: TriMesh, points, valid, centers=None):
     return uniq_p, u_idx
 
 
+def select_slots_host(cu, tu, wu, u_idx, vmask) -> WindingResult:
+    """Host-side slot selection over per-center movie results: map each
+    (frame, slot) to its unique center's row, masking invalid slots to
+    zero. Shared by the memory-capped chunked grid path here and the
+    frames-sharded path (parallel.analysis.sharded_winding_movie)."""
+    import numpy as np
+
+    t = u_idx.shape[0]
+    ti = np.arange(t)[:, None]
+    counts = np.where(vmask, cu[u_idx, ti], 0).astype(np.int32)
+    types = np.where(vmask, tu[u_idx, ti], 0).astype(np.int32)
+    ws = np.where(vmask[..., None], wu[u_idx, ti], 0.0)
+    return WindingResult(counts=jnp.asarray(counts),
+                         types=jnp.asarray(types),
+                         winding_numbers=jnp.asarray(ws))
+
+
 def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
                                 max_level: int = 25,
                                 centers=None) -> WindingResult:
@@ -399,13 +416,7 @@ def analyze_singularities_movie(mesh: TriMesh, v_world, points, valid,
         cu = np.concatenate([np.asarray(o[0])[:k] for k, o in parts])
         tu = np.concatenate([np.asarray(o[1])[:k] for k, o in parts])
         wu = np.concatenate([np.asarray(o[2])[:k] for k, o in parts])
-        ti = np.arange(t)[:, None]
-        counts = np.where(vmask, cu[u_idx, ti], 0).astype(np.int32)
-        types = np.where(vmask, tu[u_idx, ti], 0).astype(np.int32)
-        ws = np.where(vmask[..., None], wu[u_idx, ti], 0.0)
-        return WindingResult(counts=jnp.asarray(counts),
-                             types=jnp.asarray(types),
-                             winding_numbers=jnp.asarray(ws))
+        return select_slots_host(cu, tu, wu, u_idx, vmask)
     return _analyze_movie_slots(
         mesh, v, jnp.asarray(uniq_p), jnp.asarray(u_idx),
         jnp.asarray(vmask), max_level=max_level)

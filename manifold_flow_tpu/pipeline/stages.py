@@ -433,10 +433,11 @@ def singularity_stage(mesh: TriMesh, v_world, config: PipelineConfig,
     # the detection map shards over 'frames' (parallel.analysis) and the
     # counts reduce in a second dispatch.
     if device_mesh is not None:
-        from manifold_flow_tpu.parallel import sharded_detect
+        from manifold_flow_tpu.parallel.analysis import (
+            sharded_detect_with_counts)
 
-        field = sharded_detect(mesh, v, device_mesh, eps=config.solver.eps)
-        counts = jnp.stack(sing_ops.detection_counts(field))
+        field, counts = sharded_detect_with_counts(
+            mesh, v, device_mesh, eps=config.solver.eps)
     else:
         field, counts = sing_ops.detect_with_counts(mesh, v,
                                                     eps=config.solver.eps)

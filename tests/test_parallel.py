@@ -308,3 +308,59 @@ def test_sharded_winding_matches_single_device(analysis_problem):
     np.testing.assert_allclose(np.asarray(want.winding_numbers),
                                np.asarray(got.winding_numbers),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_analysis_programs_cached(analysis_problem):
+    """Cohort sweeps must reuse the compiled shard_map programs: repeated
+    calls with the same (mesh, device_mesh, params) hit one cached callable
+    (a fresh jit(shard_map) per call would re-trace per trial)."""
+    from manifold_flow_tpu.parallel import analysis as pa
+
+    mesh, pot, v3 = analysis_problem
+    dm = make_device_mesh(8, 1)
+    pa._PROGRAM_CACHE.clear()
+    pa.sharded_detect_with_counts(mesh, jnp.asarray(v3), dm)
+    pa.sharded_wave_velocity(mesh, jnp.asarray(pot), 1e-3, dm)
+    n_after_first = len(pa._PROGRAM_CACHE)
+    prog_ids = {k: id(v[1]) for k, v in pa._PROGRAM_CACHE.items()}
+    pa.sharded_detect_with_counts(mesh, jnp.asarray(v3), dm)
+    pa.sharded_wave_velocity(mesh, jnp.asarray(pot), 1e-3, dm)
+    assert len(pa._PROGRAM_CACHE) == n_after_first
+    assert {k: id(v[1]) for k, v in pa._PROGRAM_CACHE.items()} == prog_ids
+
+
+def test_sharded_winding_chunks_under_memory_cap(analysis_problem,
+                                                 monkeypatch):
+    """The frames-sharded winding grid must respect the per-device memory
+    ceiling: with a tiny cap it chunks the center axis (parity preserved),
+    and below the 8-center floor it falls back to the memory-safe
+    single-device dispatch."""
+    from manifold_flow_tpu.ops import winding
+    from manifold_flow_tpu.parallel import sharded_winding_movie
+
+    mesh, _, v3 = analysis_problem
+    dm = make_device_mesh(8, 1)
+    rng = np.random.default_rng(5)
+    base = np.asarray(mesh.points)[::11][:10]
+    pts = base[None].repeat(v3.shape[0], 0) \
+        + rng.normal(0, 0.3, (v3.shape[0], 10, 3))
+    valid = np.ones(pts.shape[:2], bool)
+    want = winding.analyze_singularities_movie(
+        mesh, jnp.asarray(v3), pts, valid, max_level=5)
+    t_local = -(-v3.shape[0] // 8)
+    monkeypatch.setattr(winding, "_GRID_MAX_ELEMS",
+                        8 * t_local * mesh.n_vertices)
+    got = sharded_winding_movie(mesh, jnp.asarray(v3), pts, valid, dm,
+                                max_level=5)
+    np.testing.assert_array_equal(np.asarray(want.counts),
+                                  np.asarray(got.counts))
+    np.testing.assert_allclose(np.asarray(want.winding_numbers),
+                               np.asarray(got.winding_numbers),
+                               rtol=1e-6, atol=1e-9)
+    # Below the chunk floor: the dispatcher must not build the grid at all.
+    monkeypatch.setattr(winding, "_GRID_MAX_ELEMS", 7 * t_local *
+                        mesh.n_vertices)
+    got2 = sharded_winding_movie(mesh, jnp.asarray(v3), pts, valid, dm,
+                                 max_level=5)
+    np.testing.assert_array_equal(np.asarray(want.counts),
+                                  np.asarray(got2.counts))
