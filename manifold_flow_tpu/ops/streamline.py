@@ -793,13 +793,15 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     fids = (fr.astype(np.int64) * n + sd).astype(np.int32)  # flat (T*N) ids
     olengths = lengths.reshape(-1)
 
-    def packed_coords(device_rows, positions, lens):
-        """Coordinates of walks `positions` (row indices into device_rows)
-        with lengths `lens`, as (flat (sum lens, 3) coords, offsets).
-
-        One packed ragged device gather (+ graded length bucket for
-        compiled-program reuse) fetches exactly the useful ids; the
-        vertex->coordinate expansion is one vectorized numpy gather."""
+    def packed_dispatch(device_rows, positions, lens):
+        """DISPATCH the packed ragged gather for walks `positions` (row
+        indices into device_rows) with lengths `lens`; returns
+        (device buffer, total, offsets). One packed gather (+ graded
+        length bucket for compiled-program reuse) produces exactly the
+        useful ids; `packed_finish` fetches and expands them. Split so the
+        overlay and base gathers DISPATCH back-to-back and their fetches
+        pipeline over the link (the previous fused helper blocked on the
+        first fetch before dispatching the second gather)."""
         offsets = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])
@@ -813,12 +815,17 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
         pos_p[: positions.size] = positions
         offs_p = np.full(k_cap + 1, total, np.int32)
         offs_p[: offsets.size] = offsets
-        flat = np.asarray(_gather_packed(
-            device_rows, jnp.asarray(pos_p),
-            jnp.asarray(offs_p), l_cap))[:total]
-        # np.take keeps the narrow id dtype (no 17.5M-element int64 cast
-        # pass at 12.5k scale, measured ~0.4 s on this host).
-        return np.take(pts, flat, axis=0), offsets
+        dev = _gather_packed(device_rows, jnp.asarray(pos_p),
+                             jnp.asarray(offs_p), l_cap)
+        return dev, total, offsets
+
+    def packed_finish(dev, total):
+        """(sum lens, 3) coords from a packed_dispatch buffer: materialize
+        the (already in-flight) fetch, expand vertex ids to coordinates.
+        np.take keeps the narrow id dtype (no 17.5M-element int64 cast
+        pass at 12.5k scale, measured ~0.4 s on this host)."""
+        flat = np.asarray(dev)[:total]
+        return np.take(pts, flat, axis=0)
 
     if sl.overlay_ids is not None and len(sl.overlay_ids):
         # Overlay ids ascend (flatnonzero order), so membership and
@@ -833,16 +840,24 @@ def compact_frames(mesh: TriMesh, sl: Streamlines, min_length: int = 20,
     else:
         in_overlay = np.zeros(len(fids), bool)
 
+    from manifold_flow_tpu.utils.io import start_host_copy
+
     need = fids[in_overlay]
+    base_ids = fids[~in_overlay]
+    o_dev = b_dev = None
     if need.size:
         opos = np.searchsorted(o_ids, need)
-        o_coords, o_offs = packed_coords(
+        o_dev, o_total, o_offs = packed_dispatch(
             jnp.asarray(sl.overlay_vertices), opos, olengths[need])
-    base_ids = fids[~in_overlay]
     if base_ids.size:
         vflat = jnp.reshape(jnp.asarray(sl.vertices), (t * n, -1))
-        b_coords, b_offs = packed_coords(vflat, base_ids,
-                                         olengths[base_ids])
+        b_dev, b_total, b_offs = packed_dispatch(vflat, base_ids,
+                                                 olengths[base_ids])
+    start_host_copy(*(d for d in (o_dev, b_dev) if d is not None))
+    if o_dev is not None:
+        o_coords = packed_finish(o_dev, o_total)
+    if b_dev is not None:
+        b_coords = packed_finish(b_dev, b_total)
 
     # Each walk's polyline is a SLICE VIEW of its source's packed coords —
     # no merged copy. (An earlier r5 version scattered both sources into
