@@ -835,3 +835,24 @@ def test_streamline_planned_capacity_overflow(source_setup, monkeypatch):
         assert len(a_f) == len(b_f)
         for a, b in zip(a_f, b_f):
             np.testing.assert_array_equal(a, b)
+
+
+def test_compact_frames_all_overlay(source_setup):
+    """When every qualifying walk lives in the overlay (tiny first window,
+    min_length above it), the base gather is skipped entirely and the
+    overlay-only source path must still produce exact per-frame lines."""
+    mesh, _, _, _, _, v3 = source_setup
+    v = jnp.asarray(v3[:2])
+    ada = streamline.trace_frames_adaptive(mesh, v, max_steps=256,
+                                           initial_window=2,
+                                           auto_plan=False)
+    full = streamline.trace_frames(mesh, v, max_steps=256)
+    # min_length 4 > window 2: every qualifying walk was escalated.
+    got = streamline.compact_frames(mesh, ada, min_length=4)
+    want = streamline.compact_frames(mesh, full, min_length=4)
+    fl = np.asarray(full.lengths)
+    assert (fl[fl >= 4] > 3).all()
+    for a_f, b_f in zip(got, want):
+        assert len(a_f) == len(b_f)
+        for a, b in zip(a_f, b_f):
+            np.testing.assert_array_equal(a, b)

@@ -364,3 +364,20 @@ def test_sharded_winding_chunks_under_memory_cap(analysis_problem,
                                  max_level=5)
     np.testing.assert_array_equal(np.asarray(want.counts),
                                   np.asarray(got2.counts))
+
+
+def test_sharded_detect_with_counts_matches(analysis_problem):
+    """The fused sharded detection+counts program equals the single-device
+    detect_with_counts (field masks and the two capacity counts)."""
+    from manifold_flow_tpu.ops import singularity as sing_ops
+    from manifold_flow_tpu.parallel.analysis import sharded_detect_with_counts
+
+    mesh, _, v3 = analysis_problem
+    dm = make_device_mesh(8, 1)
+    want_f, want_c = sing_ops.detect_with_counts(mesh, jnp.asarray(v3))
+    got_f, got_c = sharded_detect_with_counts(mesh, jnp.asarray(v3), dm)
+    np.testing.assert_array_equal(np.asarray(want_c), np.asarray(got_c))
+    np.testing.assert_array_equal(np.asarray(want_f.vertex_mask),
+                                  np.asarray(got_f.vertex_mask))
+    np.testing.assert_array_equal(np.asarray(want_f.interior_mask),
+                                  np.asarray(got_f.interior_mask))
